@@ -147,7 +147,9 @@ def pose_distance(pose_44: Array):
     R = pose_44[..., :3, :3]
     t = pose_44[..., :3, 3]
     trace = jnp.trace(R, axis1=-2, axis2=-1)
-    r_measure = jnp.sqrt(2.0 * (1.0 - jnp.minimum(3.0, trace) / 3.0))
+    # clamp at 0: XLA reassociation can push 1 - trace/3 to a tiny negative
+    # for near-identity rotations, and sqrt(-eps) would poison the volume MLP
+    r_measure = jnp.sqrt(jnp.maximum(2.0 * (1.0 - jnp.minimum(3.0, trace) / 3.0), 0.0))
     t_measure = jnp.linalg.norm(t, axis=-1)
     combined = jnp.sqrt(t_measure**2 + r_measure**2)
     return combined, r_measure, t_measure

@@ -43,7 +43,7 @@ from implicit_depth_tpu.models.decoders import (
     DecoderPP,
     SkipDecoder,
 )
-from implicit_depth_tpu.models.image_encoders import EfficientNetV2S, ResNet18D
+from implicit_depth_tpu.models.image_encoders import EfficientNetV2S, ResNet18D, TinyEncoder
 from implicit_depth_tpu.models.matching import ResnetMatchingEncoder
 from implicit_depth_tpu.models.volume_mlp import MetadataVolumeMLP
 from implicit_depth_tpu.volumes import cost_volume as cv
@@ -77,6 +77,8 @@ class BDNet(nn.Module):
         ura = not self.train_bn
         if "efficientnet" in self.image_encoder_name:
             self.encoder = EfficientNetV2S(use_running_average=ura)
+        elif "tiny" in self.image_encoder_name:
+            self.encoder = TinyEncoder()
         elif "resnet" in self.image_encoder_name:
             self.encoder = ResNet18D(use_running_average=ura)
         else:

@@ -158,6 +158,25 @@ class EfficientNetV2S(nn.Module):
         return feats
 
 
+class TinyEncoder(nn.Module):
+    """Small 5-level pyramid for tests and fast experimentation (no
+    reference counterpart). Same features_only contract as the real
+    encoders."""
+
+    use_running_average: bool = True  # unused; kept for a uniform interface
+    num_ch_enc: Sequence[int] = (16, 24, 32, 48, 64)
+
+    @nn.compact
+    def __call__(self, image_bhwc: Array) -> list[Array]:
+        feats = []
+        x = image_bhwc
+        for i, ch in enumerate(self.num_ch_enc):
+            x = nn.Conv(ch, (3, 3), (2, 2), padding=1, name=f"conv{i}")(x)
+            x = nn.leaky_relu(x, negative_slope=0.2)
+            feats.append(x)
+        return feats
+
+
 class ResNet18D(nn.Module):
     """features_only resnet18d. Returns 5 feature maps,
     channels (64, 64, 128, 256, 512) at strides (2, 4, 8, 16, 32)."""
