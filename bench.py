@@ -1,0 +1,64 @@
+"""Benchmark entry: dense occlusion-eval forward throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "bd_eval_frames_per_sec", "value": N, "unit": "frames/s",
+   "vs_baseline": N / BASELINE_FPS}
+
+The measured quantity mirrors the reference's `model_time` protocol
+(test_bd.py:196-212): full BDNet forward with dense 8-plane queries at
+512x384, batch 1, steady state. BASELINE_FPS is the A100 reference
+estimate documented in BASELINE.md (the repo publishes no numbers; the
+paper-class figure for this architecture is ~90 ms/frame => ~11.1 fps).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax_compile"),
+)
+
+BASELINE_FPS = 11.1  # ≈90 ms/frame A100-class estimate; see BASELINE.md
+WARMUP = 3
+ITERS = 50
+
+
+def main() -> None:
+    from __graft_entry__ import entry
+
+    fn, (variables, cur, src) = entry()
+    dev = jax.devices()[0]
+    variables = jax.device_put(variables, dev)
+    cur = jax.device_put(cur, dev)
+    src = jax.device_put(src, dev)
+
+    jfn = jax.jit(fn)
+    for _ in range(WARMUP):
+        out = jax.block_until_ready(jfn(variables, cur, src))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = jax.block_until_ready(jfn(variables, cur, src))
+    dt = (time.perf_counter() - t0) / ITERS
+
+    batch = cur["image"].shape[0]
+    fps = batch / dt
+    print(json.dumps({
+        "metric": "bd_eval_frames_per_sec",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

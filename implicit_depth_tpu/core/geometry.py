@@ -84,6 +84,30 @@ def project_points(points_n4: Array, K_44: Array, cam_T_world_44: Array, eps: fl
     return jnp.concatenate([uv, z], axis=-1)
 
 
+def homography_components(
+    src_K_k44: Array,
+    src_T_cur_k44: Array,
+    cur_invK_44: Array,
+) -> tuple[Array, Array]:
+    """Per-view pieces of the plane-sweep homography:
+    A = srcK[:3,:3] @ R @ curK^-1[:3,:3] and b = srcK[:3,:3] @ t, so that
+    M(d) = d*A + b e3^T. Shapes (..., k, 3, 3) and (..., k, 3)."""
+    A = jnp.einsum(
+        "...kij,...kjl,...lm->...kim",
+        src_K_k44[..., :3, :3],
+        src_T_cur_k44[..., :3, :3],
+        cur_invK_44[..., :3, :3],
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    b = jnp.einsum(
+        "...kij,...kj->...ki",
+        src_K_k44[..., :3, :3],
+        src_T_cur_k44[..., :3, 3],
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return A, b
+
+
 def plane_homographies(
     src_K_k44: Array,
     src_T_cur_k44: Array,
@@ -110,19 +134,7 @@ def plane_homographies(
         (..., k, d, 3, 3) matrices M with (x, y, z)^T = M @ p; source pixel
         coords are (x/z, y/z) and z is the depth in the source view.
     """
-    A = jnp.einsum(
-        "...kij,...kjl,...lm->...kim",
-        src_K_k44[..., :3, :3],
-        src_T_cur_k44[..., :3, :3],
-        cur_invK_44[..., :3, :3],
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (..., k, 3, 3)
-    b = jnp.einsum(
-        "...kij,...kj->...ki",
-        src_K_k44[..., :3, :3],
-        src_T_cur_k44[..., :3, 3],
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (..., k, 3)
+    A, b = homography_components(src_K_k44, src_T_cur_k44, cur_invK_44)
     e3 = jnp.zeros((3,), A.dtype).at[2].set(1.0)
     const = b[..., :, None] * e3  # (..., k, 3, 3): b e3^T
     M = depth_planes_d[..., None, :, None, None] * A[..., :, None, :, :] + const[..., :, None, :, :]

@@ -71,6 +71,7 @@ class BDNet(nn.Module):
     use_prior: bool = False
     bd_sigmoid_multiplier: float = 1.0
     compute_dtype: Any = jnp.float32
+    use_pallas_warp: bool = False  # fused TPU warp kernel (forward-only)
     train_bn: bool = False  # update batch stats (training)
 
     def setup(self):
@@ -150,6 +151,7 @@ class BDNet(nn.Module):
                 src_data[f"K_s{self.matching_scale}"], src_T_cur,
                 cur_data[f"invK_s{self.matching_scale}"], cur_T_src,
                 planes, compute_dtype=self.compute_dtype,
+                use_pallas=self.use_pallas_warp,
             )
             if self.feature_volume_type == "mlp_feature_volume":
                 volume = self.volume_mlp(wv, m_cur)  # (b, d, h, w)

@@ -36,6 +36,7 @@ class DepthNet(nn.Module):
     min_matching_depth: float = 0.25
     max_matching_depth: float = 5.0
     compute_dtype: Any = jnp.float32
+    use_pallas_warp: bool = False  # fused TPU warp kernel (forward-only)
     train_bn: bool = False
 
     def setup(self):
@@ -105,6 +106,7 @@ class DepthNet(nn.Module):
                 src_data[f"K_s{self.matching_scale}"], src_T_cur,
                 cur_data[f"invK_s{self.matching_scale}"], cur_T_src,
                 planes, compute_dtype=self.compute_dtype,
+                use_pallas=self.use_pallas_warp,
             )
             if self.feature_volume_type == "mlp_feature_volume":
                 volume = self.volume_mlp(wv, m_cur)
