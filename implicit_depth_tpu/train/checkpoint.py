@@ -1,0 +1,307 @@
+"""Checkpointing: Orbax save/restore + torch-checkpoint conversion.
+
+Replaces the Lightning ModelCheckpoint stack (train_bd.py:131-137,
+bd_model.py:41 save_hyperparameters, train_bd.py:43-58 lazy loading,
+weights/strip_checkpoint.py):
+
+- save/restore of TrainState + config dict ("opts-in-checkpoint"),
+- top-k retention on a monitored metric (max or min),
+- lazy partial restore by parameter-name intersection,
+- a torch `.ckpt` -> flax params converter for the reference's released
+  checkpoints (non-backbone subnetworks; the timm encoder mapping is
+  table-driven and extendable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization, traverse_util
+
+
+# --------------------------------------------------------------------- #
+# native (msgpack) checkpoint store with top-k retention
+# --------------------------------------------------------------------- #
+
+class CheckpointManager:
+    """Minimal, dependency-light checkpoint manager.
+
+    Keeps `save_top_k` checkpoints ranked by a monitored metric plus a
+    rolling `last` checkpoint — the reference's ModelCheckpoint policy
+    (train_bd.py:131-137: top-3 on val/harmonic_iou, save_last).
+    """
+
+    def __init__(self, directory: str, monitor: str = "loss", mode: str = "min",
+                 save_top_k: int = 3):
+        self.directory = directory
+        self.monitor = monitor
+        self.mode = mode
+        self.save_top_k = save_top_k
+        self._entries: list[tuple[float, str]] = []
+        os.makedirs(directory, exist_ok=True)
+
+    def _better(self, a: float, b: float) -> bool:
+        return a > b if self.mode == "max" else a < b
+
+    def save(self, state, config: Optional[dict] = None, metrics: Optional[dict] = None,
+             step: Optional[int] = None) -> str:
+        step = int(state.step) if step is None else step
+        path = os.path.join(self.directory, f"ckpt_{step:08d}")
+        save_state(path, state, config=config, metrics=metrics)
+
+        if metrics and self.monitor in metrics:
+            self._entries.append((float(metrics[self.monitor]), path))
+            self._entries.sort(key=lambda e: e[0], reverse=(self.mode == "max"))
+            for _, stale in self._entries[self.save_top_k:]:
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale, ignore_errors=True)
+            self._entries = self._entries[: self.save_top_k]
+
+        last = os.path.join(self.directory, "last")
+        if os.path.islink(last) or os.path.exists(last):
+            if os.path.islink(last):
+                os.unlink(last)
+            else:
+                shutil.rmtree(last, ignore_errors=True)
+        os.symlink(os.path.basename(path), last)
+        return path
+
+    def best_path(self) -> Optional[str]:
+        return self._entries[0][1] if self._entries else None
+
+
+def save_state(path: str, state, config: Optional[dict] = None,
+               metrics: Optional[dict] = None) -> None:
+    os.makedirs(path, exist_ok=True)
+    payload = {
+        "step": np.asarray(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    with open(os.path.join(path, "state.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    meta = {"config": config or {}, "metrics": {k: float(v) for k, v in (metrics or {}).items()}}
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+
+
+def restore_state(path: str, state):
+    """Restores into a template TrainState (same treedef)."""
+    target = {
+        "step": np.asarray(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+        restored = serialization.from_bytes(target, f.read())
+    return state.replace(
+        step=jnp.asarray(restored["step"]),
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    )
+
+
+def load_meta(path: str) -> dict:
+    with open(os.path.join(path, "meta.json")) as f:
+        return json.load(f)
+
+
+def save_params(path: str, variables: dict, config: Optional[dict] = None) -> None:
+    """Weights-only checkpoint (strip_checkpoint.py equivalent: params +
+    hyperparameters, no optimizer state)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(variables)))
+    if config is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(config, f, indent=2, default=str)
+
+
+def load_params(path: str, template: dict) -> dict:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(jax.device_get(template), f.read())
+
+
+def lazy_load_params(source: dict, target: dict, verbose: bool = False) -> tuple[dict, int]:
+    """Copies parameters whose flattened name AND shape match — the
+    reference's lazy partial init from the regression checkpoint
+    (train_bd.py:43-58). Returns (merged_target, num_copied)."""
+    src_flat = traverse_util.flatten_dict(source, sep="/")
+    tgt_flat = traverse_util.flatten_dict(target, sep="/")
+    copied = 0
+    for k, v in tgt_flat.items():
+        if k in src_flat and np.shape(src_flat[k]) == np.shape(v):
+            tgt_flat[k] = src_flat[k]
+            copied += 1
+        elif verbose:
+            print(f"lazy_load: skipping {k}")
+    return traverse_util.unflatten_dict(tgt_flat, sep="/"), copied
+
+
+# --------------------------------------------------------------------- #
+# torch .ckpt conversion
+# --------------------------------------------------------------------- #
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+
+
+def _conv_w(x) -> np.ndarray:
+    """torch conv (O, I, kh, kw) -> flax (kh, kw, I, O)."""
+    return _t(x).transpose(2, 3, 1, 0)
+
+
+def _dense_w(x) -> np.ndarray:
+    return _t(x).T
+
+
+def convert_basic_block(sd: dict, prefix: str) -> dict:
+    """Reference norm-free BasicBlock (modules/layers.py:34-95) ->
+    models.blocks.BasicBlock params."""
+    out = {
+        "conv1": {"kernel": _conv_w(sd[f"{prefix}.conv1.weight"]),
+                   "bias": _t(sd[f"{prefix}.conv1.bias"])},
+        "conv2": {"kernel": _conv_w(sd[f"{prefix}.conv2.weight"]),
+                   "bias": _t(sd[f"{prefix}.conv2.bias"])},
+    }
+    if f"{prefix}.downsample.0.weight" in sd:
+        out["downsample"] = {
+            "kernel": _conv_w(sd[f"{prefix}.downsample.0.weight"]),
+            "bias": _t(sd[f"{prefix}.downsample.0.bias"]),
+        }
+    return out
+
+
+def convert_volume_mlp(sd: dict, prefix: str = "cost_volume.mlp.net") -> dict:
+    """FeatureVolumeManager MLP (202->128->128->1) -> MetadataVolumeMLP."""
+    return {
+        "fc0_kernel": _dense_w(sd[f"{prefix}.0.weight"]),
+        "fc0_bias": _t(sd[f"{prefix}.0.bias"]),
+        "fc1": {"kernel": _dense_w(sd[f"{prefix}.2.weight"]), "bias": _t(sd[f"{prefix}.2.bias"])},
+        "fc2": {"kernel": _dense_w(sd[f"{prefix}.4.weight"]), "bias": _t(sd[f"{prefix}.4.bias"])},
+    }
+
+
+def convert_binary_mlp(sd: dict, prefix: str = "binary_mlp.mlps") -> dict:
+    """BinaryMLPNetwork (modules/networks.py:87-115): per-scale Sequential
+    Linear(0)/Linear(2)/Linear(4)."""
+    out = {}
+    for s in range(4):
+        for li, idx in enumerate((0, 2, 4)):
+            key = f"{prefix}.s{s}.{idx}"
+            if f"{key}.weight" not in sd:
+                continue
+            out[f"s{s}_fc{li}"] = {
+                "kernel": _dense_w(sd[f"{key}.weight"]),
+                "bias": _t(sd[f"{key}.bias"]),
+            }
+    return out
+
+
+def convert_cv_encoder(sd: dict, prefix: str = "cost_volume_net.convs") -> dict:
+    """CVEncoder (modules/networks.py:186-215)."""
+    out = {}
+    for i in range(4):
+        out[f"ds_conv_{i}"] = convert_basic_block(sd, f"{prefix}.ds_conv_{i}")
+        out[f"conv_{i}_0"] = convert_basic_block(sd, f"{prefix}.conv_{i}.0")
+        out[f"conv_{i}_1"] = convert_basic_block(sd, f"{prefix}.conv_{i}.1")
+    return out
+
+
+def convert_decoder_pp(sd: dict, prefix: str = "depth_decoder.convs", heads: bool = False) -> dict:
+    """BDDecoderPP / DepthDecoderPP grids (modules/networks.py:20-84,
+    118-183). Only the effective (last-write) output_{i} heads are used."""
+    out = {}
+    pat = re.compile(rf"^{re.escape(prefix)}\.(diag_conv|right_conv|up_conv)_(\d)(\d)\.conv1\.weight$")
+    for key in list(sd.keys()):
+        m = pat.match(key)
+        if m:
+            name = f"{m.group(1)}_{m.group(2)}{m.group(3)}"
+            out[name] = convert_basic_block(sd, f"{prefix}.{name}")
+    for j in range(1, 5):
+        for i in range(4 - j, -1, -1):
+            name = f"in_conv_{i}{j}"
+            out[name] = {
+                "block0": convert_basic_block(sd, f"{prefix}.{name}.0"),
+                "block1": convert_basic_block(sd, f"{prefix}.{name}.conv_0"),
+            }
+    for i in range(1, 4):
+        out[f"output_{i}"] = convert_basic_block(sd, f"{prefix}.output_{i}.0")
+    if heads:
+        for i in range(4):
+            w = f"{prefix}.output_{i}.1.weight"
+            if w in sd:
+                out[f"output_head_{i}"] = {"kernel": _conv_w(sd[w]),
+                                            "bias": _t(sd[f"{prefix}.output_{i}.1.bias"])}
+    return out
+
+
+def convert_matching_encoder(sd: dict, prefix: str = "matching_model.net") -> dict:
+    """ResnetMatchingEncoder (modules/networks.py:236-287). Sequential
+    layout: 0 conv1, 1 bn1, 4 layer1, 5 conv1x1, 8 conv3x3."""
+    def bn(p):
+        return {
+            "scale": _t(sd[f"{p}.weight"]), "bias": _t(sd[f"{p}.bias"]),
+            "mean": _t(sd[f"{p}.running_mean"]), "var": _t(sd[f"{p}.running_var"]),
+        }
+
+    def res_block(p):
+        out = {
+            "conv1": {"kernel": _conv_w(sd[f"{p}.conv1.weight"])},
+            "conv2": {"kernel": _conv_w(sd[f"{p}.conv2.weight"])},
+            "bn1": bn(f"{p}.bn1"), "bn2": bn(f"{p}.bn2"),
+        }
+        return out
+
+    return {
+        "conv1": {"kernel": _conv_w(sd[f"{prefix}.0.weight"])},
+        "bn1": bn(f"{prefix}.1"),
+        "layer1_0": res_block(f"{prefix}.4.0"),
+        "layer1_1": res_block(f"{prefix}.4.1"),
+        "head_conv1": {"kernel": _conv_w(sd[f"{prefix}.5.weight"]), "bias": _t(sd[f"{prefix}.5.bias"])},
+        "head_conv2": {"kernel": _conv_w(sd[f"{prefix}.8.weight"]), "bias": _t(sd[f"{prefix}.8.bias"])},
+    }
+
+
+def split_bn(converted: dict) -> tuple[dict, dict]:
+    """Splits {scale,bias,mean,var} BN dicts into flax params
+    ({scale,bias} under BatchNorm_0) and batch_stats ({mean,var})."""
+    params, stats = {}, {}
+    for k, v in converted.items():
+        if isinstance(v, dict):
+            if set(v.keys()) == {"scale", "bias", "mean", "var"}:
+                params[k] = {"BatchNorm_0": {"scale": v["scale"], "bias": v["bias"]}}
+                stats[k] = {"BatchNorm_0": {"mean": v["mean"], "var": v["var"]}}
+            else:
+                p, s = split_bn(v)
+                params[k] = p
+                if s:
+                    stats[k] = s
+        else:
+            params[k] = v
+    return params, stats
+
+
+def convert_reference_bd_checkpoint(state_dict: dict) -> tuple[dict, dict]:
+    """Converts a reference BDModel state_dict (non-backbone subnets) to
+    (params, batch_stats) subtrees keyed by our module names. The timm
+    image-encoder mapping is added separately (encoder zoo table)."""
+    params: dict = {}
+    stats: dict = {}
+    p, s = split_bn(convert_matching_encoder(state_dict))
+    params["matching"], stats["matching"] = p, s
+    params["volume_mlp"] = convert_volume_mlp(state_dict)
+    params["cv_encoder"] = convert_cv_encoder(state_dict)
+    params["decoder"] = convert_decoder_pp(state_dict, "depth_decoder.convs", heads=False)
+    params["binary_mlp"] = convert_binary_mlp(state_dict)
+    return params, stats
