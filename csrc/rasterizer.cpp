@@ -1,0 +1,140 @@
+// Minimal z-buffer triangle rasterizer (CPU, C++).
+//
+// Replaces PyTorch3D's MeshRasterizer (C++/CUDA) for the temporal
+// evaluator's GT-mesh visibility checks
+// (reference: utils/binary_metrics_utils.py:336-358). Renders a depth
+// (z-buffer) image of a triangle mesh under an OpenCV-convention pinhole
+// camera: x_pix = K [R|t] X, with the +0.5 pixel-centre sampling used
+// throughout the framework.
+//
+// Build: g++ -O3 -march=native -shared -fPIC rasterizer.cpp -o librasterizer.so
+// Exposed via ctypes (implicit_depth_tpu/eval/rasterizer.py).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <limits>
+
+extern "C" {
+
+// verts: (n_verts, 3) float32 world coords
+// faces: (n_faces, 3) int32 vertex indices
+// cam_T_world: (4, 4) row-major float32
+// K: (3, 3) row-major float32 (intrinsics at the output resolution)
+// out_depth: (height, width) float32, 0 where no geometry
+void rasterize_depth(
+    const float* verts, int64_t n_verts,
+    const int32_t* faces, int64_t n_faces,
+    const float* cam_T_world,
+    const float* K,
+    int32_t height, int32_t width,
+    float* out_depth) {
+  const float fx = K[0], cx = K[2];
+  const float fy = K[4], cy = K[5];
+
+  // transform all vertices to camera space and project
+  float* cam = new float[n_verts * 3];
+  float* px = new float[n_verts];
+  float* py = new float[n_verts];
+  for (int64_t i = 0; i < n_verts; ++i) {
+    const float x = verts[i * 3 + 0];
+    const float y = verts[i * 3 + 1];
+    const float z = verts[i * 3 + 2];
+    const float cxp = cam_T_world[0] * x + cam_T_world[1] * y + cam_T_world[2] * z + cam_T_world[3];
+    const float cyp = cam_T_world[4] * x + cam_T_world[5] * y + cam_T_world[6] * z + cam_T_world[7];
+    const float czp = cam_T_world[8] * x + cam_T_world[9] * y + cam_T_world[10] * z + cam_T_world[11];
+    cam[i * 3 + 0] = cxp;
+    cam[i * 3 + 1] = cyp;
+    cam[i * 3 + 2] = czp;
+    if (czp > 1e-6f) {
+      px[i] = fx * cxp / czp + cx;
+      py[i] = fy * cyp / czp + cy;
+    } else {
+      px[i] = std::numeric_limits<float>::quiet_NaN();
+      py[i] = std::numeric_limits<float>::quiet_NaN();
+    }
+  }
+
+  const int64_t npix = (int64_t)height * width;
+  for (int64_t i = 0; i < npix; ++i) out_depth[i] = 0.0f;
+
+  for (int64_t f = 0; f < n_faces; ++f) {
+    const int32_t i0 = faces[f * 3 + 0];
+    const int32_t i1 = faces[f * 3 + 1];
+    const int32_t i2 = faces[f * 3 + 2];
+    const float z0 = cam[i0 * 3 + 2], z1 = cam[i1 * 3 + 2], z2 = cam[i2 * 3 + 2];
+    if (z0 <= 1e-6f || z1 <= 1e-6f || z2 <= 1e-6f) continue;  // clip behind
+
+    const float x0 = px[i0], y0 = py[i0];
+    const float x1 = px[i1], y1 = py[i1];
+    const float x2 = px[i2], y2 = py[i2];
+
+    // pixel-centre sample positions are (u + 0.5, v + 0.5)
+    int32_t umin = (int32_t)std::floor(std::min({x0, x1, x2}) - 0.5f);
+    int32_t umax = (int32_t)std::ceil(std::max({x0, x1, x2}) - 0.5f);
+    int32_t vmin = (int32_t)std::floor(std::min({y0, y1, y2}) - 0.5f);
+    int32_t vmax = (int32_t)std::ceil(std::max({y0, y1, y2}) - 0.5f);
+    umin = std::max(umin, 0);
+    vmin = std::max(vmin, 0);
+    umax = std::min(umax, width - 1);
+    vmax = std::min(vmax, height - 1);
+    if (umin > umax || vmin > vmax) continue;
+
+    const float area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0);
+    if (std::fabs(area) < 1e-12f) continue;
+    const float inv_area = 1.0f / area;
+    const float iz0 = 1.0f / z0, iz1 = 1.0f / z1, iz2 = 1.0f / z2;
+
+    for (int32_t v = vmin; v <= vmax; ++v) {
+      const float sy = v + 0.5f;
+      for (int32_t u = umin; u <= umax; ++u) {
+        const float sx = u + 0.5f;
+        float w0 = ((x1 - sx) * (y2 - sy) - (x2 - sx) * (y1 - sy)) * inv_area;
+        float w1 = ((x2 - sx) * (y0 - sy) - (x0 - sx) * (y2 - sy)) * inv_area;
+        float w2 = 1.0f - w0 - w1;
+        // small tolerance so shared-edge pixels are not dropped by
+        // both adjacent triangles due to rounding
+        const float eps = -1e-5f;
+        if (w0 < eps || w1 < eps || w2 < eps) continue;
+        // perspective-correct depth: interpolate 1/z in screen space
+        const float iz = w0 * iz0 + w1 * iz1 + w2 * iz2;
+        const float z = 1.0f / iz;
+        float* d = &out_depth[(int64_t)v * width + u];
+        if (*d == 0.0f || z < *d) *d = z;
+      }
+    }
+  }
+
+  delete[] cam;
+  delete[] px;
+  delete[] py;
+}
+
+// Projects vertices into the camera: out (n_verts, 3) = (u, v, z_cam).
+void project_vertices(
+    const float* verts, int64_t n_verts,
+    const float* cam_T_world,
+    const float* K,
+    float* out_uvz) {
+  const float fx = K[0], cx = K[2];
+  const float fy = K[4], cy = K[5];
+  for (int64_t i = 0; i < n_verts; ++i) {
+    const float x = verts[i * 3 + 0];
+    const float y = verts[i * 3 + 1];
+    const float z = verts[i * 3 + 2];
+    const float cxp = cam_T_world[0] * x + cam_T_world[1] * y + cam_T_world[2] * z + cam_T_world[3];
+    const float cyp = cam_T_world[4] * x + cam_T_world[5] * y + cam_T_world[6] * z + cam_T_world[7];
+    const float czp = cam_T_world[8] * x + cam_T_world[9] * y + cam_T_world[10] * z + cam_T_world[11];
+    if (czp > 1e-6f) {
+      out_uvz[i * 3 + 0] = fx * cxp / czp + cx;
+      out_uvz[i * 3 + 1] = fy * cyp / czp + cy;
+      out_uvz[i * 3 + 2] = czp;
+    } else {
+      out_uvz[i * 3 + 0] = -1e9f;
+      out_uvz[i * 3 + 1] = -1e9f;
+      out_uvz[i * 3 + 2] = -1.0f;
+    }
+  }
+}
+
+}  // extern "C"
