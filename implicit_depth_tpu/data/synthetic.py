@@ -165,3 +165,7 @@ class SyntheticDataset(GenericMVSDataset):
             self.image_width * self.full_res_scale // 2,
         )
         return depth
+
+    def get_valid_frame_ids(self, scan_id=None, store_computed: bool = False):
+        """All synthetic frames are valid; dist-to-last-valid is 0."""
+        return [f"scene0 {i} 0" for i in range(self.num_frames)]

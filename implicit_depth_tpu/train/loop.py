@@ -1,0 +1,225 @@
+"""Training orchestration (replaces pl.Trainer usage, train_bd.py:35-165).
+
+fit() wires: dataset -> BatchLoader -> jitted sharded train step ->
+interval validation -> CheckpointManager -> ExperimentLogger. Data
+parallelism: batches sharded over the mesh `data` axis; XLA inserts the
+gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from implicit_depth_tpu.config import Config
+from implicit_depth_tpu.data.loader import BatchLoader
+from implicit_depth_tpu.data.mvs_dataset import BDSamplingConfig
+from implicit_depth_tpu.data.registry import get_dataset
+from implicit_depth_tpu.eval import binary_metrics as bm
+from implicit_depth_tpu.models.bd_net import BDNet
+from implicit_depth_tpu.models.depth_net import DepthNet
+from implicit_depth_tpu.parallel import mesh as mesh_lib
+from implicit_depth_tpu.train import checkpoint as ckpt_lib
+from implicit_depth_tpu.train import state as state_lib
+from implicit_depth_tpu.train.logging import ExperimentLogger, copy_code_state
+
+
+def build_net(cfg: Config, kind: str, train_bn: bool = False):
+    common = dict(
+        image_encoder_name=cfg.image_encoder_name,
+        feature_volume_type=cfg.feature_volume_type,
+        depth_decoder_name=cfg.depth_decoder_name,
+        matching_scale=cfg.matching_scale,
+        matching_feature_dims=cfg.matching_feature_dims,
+        num_depth_bins=cfg.matching_num_depth_bins,
+        num_src_views=cfg.num_src_views,
+        min_matching_depth=cfg.min_matching_depth,
+        max_matching_depth=cfg.max_matching_depth,
+        compute_dtype=jnp.bfloat16 if cfg.precision == 16 else jnp.float32,
+        train_bn=train_bn,
+    )
+    if kind == "bd":
+        return BDNet(use_prior=cfg.use_prior,
+                     bd_sigmoid_multiplier=cfg.bd_sigmoid_multiplier, **common)
+    return DepthNet(**common)
+
+
+def build_dataset(cfg: Config, split: str, kind: str, limit_to_scan_id=None):
+    cls, _ = get_dataset(cfg.dataset, None, None)
+    kwargs = dict(
+        split=split,
+        mv_tuple_file_suffix=cfg.mv_tuple_file_suffix,
+        tuple_info_file_location=cfg.tuple_info_file_location,
+        num_images_in_tuple=cfg.num_images_in_tuple or cfg.model_num_views,
+        image_height=cfg.image_height,
+        image_width=cfg.image_width,
+        shuffle_tuple=cfg.shuffle_tuple,
+        get_bd_info=kind == "bd",
+        full_depth_supervision=cfg.full_depth_supervision,
+        bd_config=BDSamplingConfig(
+            num_rays=cfg.num_rays,
+            samples_per_ray=cfg.samples_per_ray,
+            near_surface_ratio=cfg.near_surface_ratio,
+            surface_noise_type=cfg.surface_noise_type,
+        ),
+        limit_to_scan_id=limit_to_scan_id,
+        skip_frames=cfg.skip_frames,
+    )
+    if cfg.dataset == "synthetic":
+        for k in ("mv_tuple_file_suffix", "tuple_info_file_location",
+                  "num_images_in_tuple", "limit_to_scan_id", "skip_frames"):
+            kwargs.pop(k, None)
+        return cls(num_views=cfg.model_num_views, **kwargs)
+    return cls(dataset_path=cfg.dataset_path, **kwargs)
+
+
+def _batch_to_jnp(batch):
+    cur, src = batch
+    cur = {k: np.asarray(v) for k, v in cur.items() if k != "frame_id_string"}
+    src = {k: np.asarray(v) for k, v in src.items() if k != "frame_id_string"}
+    return cur, src
+
+
+def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
+        log_cb: Optional[Callable] = None) -> state_lib.TrainState:
+    """Runs training end-to-end; returns the final state."""
+    max_steps = max_steps or cfg.max_steps
+    mesh = mesh_lib.make_mesh()
+    n_dev = mesh.devices.size
+
+    net = build_net(cfg, kind, train_bn=True)
+    train_ds = build_dataset(cfg, "train", kind)
+    val_ds = build_dataset(cfg, "val", kind)
+
+    loader = BatchLoader(train_ds, cfg.batch_size, num_workers=cfg.num_workers,
+                         seed=cfg.random_seed)
+    val_loader = BatchLoader(val_ds, cfg.val_batch_size, shuffle=False,
+                             num_workers=cfg.num_workers, epochs=1)
+
+    # ---- init / restore
+    it = iter(loader)
+    first = _batch_to_jnp(next(it))
+    rngs = {"params": jax.random.PRNGKey(cfg.random_seed),
+            "aug": jax.random.PRNGKey(cfg.random_seed + 1)}
+    cur0 = {k: jnp.asarray(v) for k, v in first[0].items()}
+    src0 = {k: jnp.asarray(v) for k, v in first[1].items()}
+    variables = net.init(rngs, cur0, src0)
+
+    if cfg.load_weights_from_checkpoint:
+        variables = ckpt_lib.load_params(cfg.load_weights_from_checkpoint, variables)
+    elif cfg.lazy_load_weights_from_checkpoint:
+        src_vars = ckpt_lib.load_params(cfg.lazy_load_weights_from_checkpoint, variables)
+        merged, n = ckpt_lib.lazy_load_params(src_vars.get("params", {}),
+                                              variables["params"])
+        print(f"lazy-loaded {n} parameter tensors")
+        variables = dict(variables, params=merged)
+
+    tx = state_lib.make_optimizer(cfg.lr, cfg.wd, cfg.lr_steps)
+    state = state_lib.create_train_state(variables, tx)
+    if cfg.resume:
+        state = ckpt_lib.restore_state(cfg.resume, state)
+
+    # ---- sharding
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
+    bshard = mesh_lib.batch_sharding(mesh)
+
+    if kind == "bd":
+        step_fn = jax.jit(state_lib.make_bd_train_step(
+            net,
+            pos_weight=cfg.binary_loss_positive_weight,
+            regularisation_weight=cfg.bd_regularisation_weight,
+            edge_regularisation=cfg.bd_edge_regularision,
+        ))
+    else:
+        step_fn = jax.jit(state_lib.make_regression_train_step(net, dataset=cfg.dataset))
+
+    # ---- logging, snapshot, checkpoints
+    logger = ExperimentLogger(cfg.log_dir, cfg.name)
+    try:
+        copy_code_state(os.path.join(logger.dir, "code"))
+    except Exception as e:
+        print(f"code snapshot failed: {e}")
+    monitor, mode = ("val/harmonic_iou", "max") if kind == "bd" else ("val/loss", "min")
+    mgr = ckpt_lib.CheckpointManager(os.path.join(logger.dir, "checkpoints"),
+                                     monitor=monitor, mode=mode)
+    cfg_dict = dataclasses.asdict(cfg)
+
+    rng = jax.random.PRNGKey(cfg.random_seed + 2)
+
+    def run_validation(state) -> dict:
+        net_eval = build_net(cfg, kind, train_bn=False)
+        vmetrics = []
+        for bi, batch in enumerate(iter(val_loader)):
+            if bi >= cfg.val_batches:
+                break
+            cur, src = _batch_to_jnp(batch)
+            cur = jax.device_put(cur, bshard)
+            src = jax.device_put(src, bshard)
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            if kind == "bd":
+                out = net_eval.apply(variables, cur, src, method=BDNet.forward_val)
+                pred = jax.nn.sigmoid(cfg.bd_sigmoid_multiplier * out["pred_0"])
+                iou = bm.legacy_and_new_iou(cur["rendered_depth"], cur["depth"], pred)
+                vmetrics.append({k: float(v) for k, v in iou.items()})
+            else:
+                out = net_eval.apply(variables, cur, src)
+                from implicit_depth_tpu.ops import image as image_ops
+                from implicit_depth_tpu.train import losses as loss_lib
+
+                cur = dict(cur)
+                cur["normals"] = image_ops.normals_from_depth(
+                    jnp.nan_to_num(jnp.where(cur["mask"], cur["depth"], jnp.nan), nan=0.0),
+                    cur["invK_s0"],
+                )
+                out = dict(out)
+                out["normals_pred"] = image_ops.normals_from_depth(
+                    out["depth_pred_0"], cur["invK_s0"])
+                l = loss_lib.regression_losses(cur, src, out, dataset=cfg.dataset)
+                vmetrics.append({k: float(v) for k, v in l.items()})
+        if not vmetrics:
+            return {}
+        return {f"val/{k}": float(np.nanmean([m[k] for m in vmetrics]))
+                for k in vmetrics[0]}
+
+    t0 = time.time()
+    batch = first
+    step_i = int(state.step)
+    while step_i < max_steps:
+        cur, src = batch
+        cur = jax.device_put(cur, bshard)
+        src = jax.device_put(src, bshard)
+        rng, sub = jax.random.split(rng)
+        state, losses = step_fn(state, (cur, src), sub)
+        step_i = int(state.step)
+
+        if step_i % cfg.log_interval == 0:
+            scalars = {f"train/{k}": float(v) for k, v in losses.items()}
+            scalars["train/steps_per_sec"] = cfg.log_interval / max(time.time() - t0, 1e-9)
+            t0 = time.time()
+            logger.log_scalars(step_i, scalars)
+            if log_cb:
+                log_cb(step_i, scalars)
+
+        if step_i % cfg.val_interval == 0 or step_i >= max_steps:
+            vm = run_validation(state)
+            if vm:
+                logger.log_scalars(step_i, vm)
+            mgr.save(state, config=cfg_dict, metrics=vm or {monitor: 0.0})
+
+        try:
+            batch = _batch_to_jnp(next(it))
+        except StopIteration:
+            it = iter(loader)
+            batch = _batch_to_jnp(next(it))
+
+    loader.stop()
+    logger.close()
+    return state

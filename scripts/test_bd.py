@@ -1,0 +1,71 @@
+"""Occlusion IoU evaluation (reference: test_bd.py).
+
+Per-scene dense 8-plane queries, tuned per-plane thresholds, surface and
+boundary variants, optional depth-from-binary (--binary_eval_depth).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+import numpy as np
+
+from implicit_depth_tpu.config import parse_and_merge
+from implicit_depth_tpu.data.registry import get_dataset
+from implicit_depth_tpu.eval import binary_metrics as bm
+from implicit_depth_tpu.eval.occlusion_eval import evaluate_scenes
+from implicit_depth_tpu.train import checkpoint as ckpt_lib
+from implicit_depth_tpu.train.loop import build_dataset, build_net
+
+
+def main():
+    cfg = parse_and_merge()
+    net = build_net(cfg, "bd", train_bn=False)
+
+    _, scans = get_dataset(cfg.dataset, cfg.dataset_scan_split_file,
+                           cfg.single_debug_scan_id)
+    datasets = {
+        scan: build_dataset(cfg, cfg.split, "bd", limit_to_scan_id=scan)
+        for scan in (scans or ["scene0"])
+    }
+
+    # init template then load weights
+    ds0 = next(iter(datasets.values()))
+    from implicit_depth_tpu.data.mvs_dataset import collate
+    import jax
+    cur, src = collate([ds0[0]])
+    cur = {k: jnp.asarray(v) for k, v in cur.items() if k != "frame_id_string"}
+    src = {k: jnp.asarray(v) for k, v in src.items() if k != "frame_id_string"}
+    variables = net.init({"params": jax.random.PRNGKey(0)}, cur, src,
+                         method=type(net).forward_val)
+    assert cfg.load_weights_from_checkpoint, "--load_weights_from_checkpoint required"
+    variables = ckpt_lib.load_params(cfg.load_weights_from_checkpoint, variables)
+
+    thresholder = None
+    if cfg.use_validation_thresholds:
+        planes = jnp.asarray(np.linspace(1.5, 5.0, 8, dtype=np.float32))
+        thresholder = bm.Thresholder(planes, jnp.asarray([0.5, 0.4] + [0.3] * 6,
+                                                          dtype=np.float32))
+    out_dir = os.path.join(cfg.output_base_path, cfg.name, "scores")
+    results = evaluate_scenes(
+        net, variables, datasets, output_dir=out_dir,
+        batch_size=cfg.val_batch_size, name=cfg.name,
+        thresholder=thresholder or bm.Thresholder(
+            jnp.asarray(np.linspace(1.5, 5.0, 8, dtype=np.float32)),
+            jnp.asarray([0.5] * 8, dtype=np.float32)),
+        binary_eval_depth=cfg.binary_eval_depth,
+    )
+    avg = results["all_scene"]
+    avg.pretty_print_results(print_running_metrics=False)
+    if not cfg.binary_eval_depth:
+        for metric in ("iou", "surface_iou", "boundary_iou"):
+            avg.pretty_print_metric_table(metric_name=metric, single_iou=True,
+                                          depths=[1.5 + 0.5 * i for i in range(8)],
+                                          print_running_metrics=False)
+    print(f"model_time: {results['model_time_ms']:.2f} ms/frame")
+
+
+if __name__ == "__main__":
+    main()
