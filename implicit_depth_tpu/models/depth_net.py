@@ -18,7 +18,9 @@ from implicit_depth_tpu.core import geometry
 from implicit_depth_tpu.models.bd_net import maybe_flip
 from implicit_depth_tpu.models.decoders import CVEncoder, DecoderPP, SkipDecoder
 from implicit_depth_tpu.models.image_encoders import EfficientNetV2S, ResNet18D, TinyEncoder
+from implicit_depth_tpu.models.fpn_matching import FPNMatchingEncoder
 from implicit_depth_tpu.models.matching import ResnetMatchingEncoder
+from implicit_depth_tpu.models.resnets import ResNeXt101_64x4d, SEResNeXtAA101d_32x8d
 from implicit_depth_tpu.models.volume_mlp import MetadataVolumeMLP
 from implicit_depth_tpu.volumes import cost_volume as cv
 
@@ -29,6 +31,7 @@ class DepthNet(nn.Module):
     image_encoder_name: str = "efficientnet"
     feature_volume_type: str = "mlp_feature_volume"
     depth_decoder_name: str = "unet_pp"
+    matching_encoder_type: str = "resnet"
     matching_scale: int = 1
     matching_feature_dims: int = 16
     num_depth_bins: int = 64
@@ -45,13 +48,22 @@ class DepthNet(nn.Module):
             self.encoder = EfficientNetV2S(use_running_average=ura)
         elif "tiny" in self.image_encoder_name:
             self.encoder = TinyEncoder()
+        elif "resnext101" in self.image_encoder_name:
+            self.encoder = ResNeXt101_64x4d(use_running_average=ura)
+        elif "seresnextaa101d" in self.image_encoder_name:
+            self.encoder = SEResNeXtAA101d_32x8d(use_running_average=ura)
         elif "resnet" in self.image_encoder_name:
             self.encoder = ResNet18D(use_running_average=ura)
         else:
             raise ValueError(self.image_encoder_name)
-        self.matching = ResnetMatchingEncoder(
-            num_ch_out=self.matching_feature_dims, use_running_average=ura
-        )
+        if self.matching_encoder_type == "fpn":
+            self.matching = FPNMatchingEncoder(
+                num_ch_out=self.matching_feature_dims, use_running_average=ura
+            )
+        else:
+            self.matching = ResnetMatchingEncoder(
+                num_ch_out=self.matching_feature_dims, use_running_average=ura
+            )
         if self.feature_volume_type == "mlp_feature_volume":
             self.volume_mlp = MetadataVolumeMLP(
                 num_src_views=self.num_src_views,

@@ -33,6 +33,7 @@ from implicit_depth_tpu.train.logging import ExperimentLogger, copy_code_state
 def build_net(cfg: Config, kind: str, train_bn: bool = False):
     common = dict(
         image_encoder_name=cfg.image_encoder_name,
+        matching_encoder_type=cfg.matching_encoder_type,
         feature_volume_type=cfg.feature_volume_type,
         depth_decoder_name=cfg.depth_decoder_name,
         matching_scale=cfg.matching_scale,

@@ -59,8 +59,17 @@ def batch():
 
 @pytest.fixture(scope="module")
 def net_and_params(batch):
+    """Full EfficientNetV2-S net — exercised once by the train-forward test."""
     cur, src = batch
     net = BDNet(num_src_views=K, num_depth_bins=D_BINS)
+    variables = net.init({"params": jax.random.PRNGKey(0)}, cur, src, flip=False)
+    return net, variables
+
+
+@pytest.fixture(scope="module")
+def tiny_net_and_params(batch):
+    cur, src = batch
+    net = BDNet(num_src_views=K, num_depth_bins=D_BINS, image_encoder_name="tiny")
     variables = net.init({"params": jax.random.PRNGKey(0)}, cur, src, flip=False)
     return net, variables
 
@@ -77,23 +86,23 @@ def test_train_forward_shapes(net_and_params, batch):
         assert np.isfinite(np.asarray(out[k])).all(), k
 
 
-def test_train_forward_flip_runs(net_and_params, batch):
-    net, variables = net_and_params
+def test_train_forward_flip_runs(tiny_net_and_params, batch):
+    net, variables = tiny_net_and_params
     cur, src = batch
     out = net.apply(variables, cur, src, flip=True)
     assert np.isfinite(np.asarray(out["pred_0"])).all()
 
 
-def test_val_forward_dense(net_and_params, batch):
-    net, variables = net_and_params
+def test_val_forward_dense(tiny_net_and_params, batch):
+    net, variables = tiny_net_and_params
     cur, src = batch
     out = net.apply(variables, cur, src, method=BDNet.forward_val)
     assert out["pred_0"].shape == (B, HD, WD, N_PLANES)
     assert np.isfinite(np.asarray(out["pred_0"])).all()
 
 
-def test_infer_depth_bisection(net_and_params, batch):
-    net, variables = net_and_params
+def test_infer_depth_bisection(tiny_net_and_params, batch):
+    net, variables = tiny_net_and_params
     cur, src = batch
     out = net.apply(variables, cur, src, method=BDNet.forward_infer_depth)
     d = np.asarray(out["search_depths"])
@@ -103,7 +112,7 @@ def test_infer_depth_bisection(net_and_params, batch):
 
 def test_zero_volume_variant(batch):
     cur, src = batch
-    net = BDNet(num_src_views=K, num_depth_bins=D_BINS, feature_volume_type="zero_cost_volume")
+    net = BDNet(num_src_views=K, num_depth_bins=D_BINS, image_encoder_name="tiny", feature_volume_type="zero_cost_volume")
     variables = net.init({"params": jax.random.PRNGKey(0)}, cur, src, flip=False)
     out = net.apply(variables, cur, src, flip=False)
     assert np.isfinite(np.asarray(out["pred_0"])).all()
@@ -111,7 +120,7 @@ def test_zero_volume_variant(batch):
 
 def test_dot_volume_variant(batch):
     cur, src = batch
-    net = BDNet(num_src_views=K, num_depth_bins=D_BINS, feature_volume_type="simple_cost_volume")
+    net = BDNet(num_src_views=K, num_depth_bins=D_BINS, image_encoder_name="tiny", feature_volume_type="simple_cost_volume")
     variables = net.init({"params": jax.random.PRNGKey(0)}, cur, src, flip=False)
     out = net.apply(variables, cur, src, flip=False)
     assert np.isfinite(np.asarray(out["pred_0"])).all()

@@ -11,8 +11,8 @@ from implicit_depth_tpu.parallel import mesh as mesh_lib
 from implicit_depth_tpu.train import state as state_lib
 
 B, K = 2, 2
-H, W = 64, 96
-HD, WD = 32, 48
+H, W = 32, 64
+HD, WD = 16, 32
 N_RAYS, N_SAMPLES = 16, 8
 D_BINS = 8
 
