@@ -191,3 +191,167 @@ def warp_planes(
     )
     # (K, V, D, C, W) -> (K, D, V(H), W, C)
     return jnp.transpose(out[:, :, :D], (0, 2, 1, 4, 3))
+
+
+# --------------------------------------------------------------------- #
+# backward (transpose) kernel + custom VJP
+# --------------------------------------------------------------------- #
+
+def _warp_bwd_kernel(
+    ng_ref,       # (1,) i32 runtime plane-group count
+    A_ref,        # (K, 3, 3) f32
+    b_ref,        # (K, 3) f32
+    planes_ref,   # (D,) f32
+    ct_ref,       # (1, 1, D, C, W) cotangent for scanline v of view k
+    out_ref,      # (1, H, C, W) accumulated source-feature cotangent
+    *,
+    height: int,
+    width: int,
+    channels: int,
+    num_planes: int,
+):
+    """Transpose of _warp_kernel: scatters each scanline's cotangent back
+    into the source rows it sampled. The (k)-indexed output block stays
+    VMEM-resident across the v grid axis and is zeroed at v == 0."""
+    k = pl.program_id(0)
+    v = pl.program_id(1)
+
+    cdt = ct_ref.dtype
+    G = _PGROUP
+    u = jax.lax.broadcasted_iota(jnp.int32, (G, width), 1).astype(jnp.float32) + 0.5
+    vv = jnp.float32(v) + 0.5
+
+    a = [[A_ref[k, i, j] for j in range(3)] for i in range(3)]
+    b = [b_ref[k, i] for i in range(3)]
+
+    iota_x_gu = jax.lax.broadcasted_iota(jnp.int32, (width, G * width), 0).astype(jnp.float32)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1, 1), 0).astype(jnp.float32)
+    num_chunks = height // _CHUNK
+
+    @pl.when(v == 0)
+    def _init():
+        out_ref[0] = jnp.zeros((height, channels, width), out_ref.dtype)
+
+    def group_body(g, _):
+        gi_col = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
+        dep = jnp.zeros((G, 1), jnp.float32)
+        for j in range(G):
+            dep = jnp.where(gi_col == j, planes_ref[g * G + j], dep)
+
+        r0 = dep * (a[0][0] * u + a[0][1] * vv + a[0][2]) + b[0]
+        r1 = dep * (a[1][0] * u + a[1][1] * vv + a[1][2]) + b[1]
+        r2 = dep * (a[2][0] * u + a[2][1] * vv + a[2][2]) + b[2]
+        z = jnp.maximum(r2, 1e-5)
+        x = jnp.clip(r0 / z - 0.5, -2.0 * width, 2.0 * width)
+        y = jnp.clip(r1 / z - 0.5, -2.0 * height, 2.0 * height)
+        x0 = jnp.floor(x)
+        fx = x - x0
+        y0 = jnp.floor(y)
+        fy = y - y0
+
+        x0_flat = x0.reshape(1, G * width)
+        fx_flat = fx.reshape(1, G * width).astype(jnp.float32)
+        wx = (
+            (iota_x_gu == x0_flat).astype(jnp.float32) * (1.0 - fx_flat)
+            + (iota_x_gu == (x0_flat + 1.0)).astype(jnp.float32) * fx_flat
+        ).astype(cdt)  # (W, G*W)
+
+        lo = jnp.clip((jnp.min(y0) / _CHUNK).astype(jnp.int32), 0, num_chunks)
+        hi = jnp.clip(((jnp.max(y0) + 1.0) / _CHUNK).astype(jnp.int32) + 1, lo, num_chunks)
+
+        y0_rgu = y0.reshape(1, 1, G, width)
+        fy_rgu = fy.reshape(1, 1, G, width).astype(jnp.float32)
+        # cotangent of this plane group: (G, C, W) -> (1, C, G, W)
+        ct = ct_ref[0, 0, pl.ds(g * G, G)].astype(jnp.float32)
+        ct_cgu = jnp.transpose(ct, (1, 0, 2))[None]  # (1, C, G, W)
+
+        def chunk_body(ci, _):
+            y_global = iota_r + jnp.float32(ci * _CHUNK)
+            wy = (
+                (y_global == y0_rgu).astype(jnp.float32) * (1.0 - fy_rgu)
+                + (y_global == (y0_rgu + 1.0)).astype(jnp.float32) * fy_rgu
+            )  # (8, 1, G, W)
+            t = (wy * ct_cgu).astype(cdt)            # (8, C, G, W)
+            lhs = t.reshape(_CHUNK * channels, G * width)
+            # scatter along x: (rc, gu) @ (gu, x) = (rc, x)
+            contrib = jnp.dot(lhs, wx.T, preferred_element_type=jnp.float32)
+            contrib = contrib.reshape(_CHUNK, channels, width)
+            sl = pl.ds(ci * _CHUNK, _CHUNK)
+            out_ref[0, sl] = out_ref[0, sl] + contrib.astype(out_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(lo, hi, chunk_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, ng_ref[0], group_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def warp_planes_bwd(
+    ct_kdhwc: Array,
+    A_k33: Array,
+    b_k3: Array,
+    planes_d: Array,
+    interpret: bool = False,
+) -> Array:
+    """d(warp_planes)/d(src_feats) applied to cotangent ct (K, D, H, W, C).
+    Returns (K, H, W, C)."""
+    K, D, H, W, C = ct_kdhwc.shape
+    Dp = -(-D // _PGROUP) * _PGROUP
+    ct = jnp.transpose(ct_kdhwc, (0, 2, 1, 4, 3))  # (K, V, D, C, W)
+    if Dp != D:
+        ct = jnp.pad(ct, ((0, 0), (0, 0), (0, Dp - D), (0, 0), (0, 0)))
+    planes_padded = jnp.pad(planes_d.astype(jnp.float32), (0, Dp - D), constant_values=1.0)
+
+    kernel = functools.partial(
+        _warp_bwd_kernel, height=H, width=W, channels=C, num_planes=Dp
+    )
+    # accumulate in f32 regardless of ct dtype for stable reductions
+    out = pl.pallas_call(
+        kernel,
+        grid=(K, H),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Dp, C, W), lambda k, v: (k, v, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H, C, W), lambda k, v: (k, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((K, H, C, W), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.asarray([Dp // _PGROUP], jnp.int32),
+        A_k33.astype(jnp.float32),
+        b_k3.astype(jnp.float32),
+        planes_padded,
+        ct,
+    )
+    return jnp.moveaxis(out, 2, -1).astype(ct_kdhwc.dtype)  # (K, H, W, C)
+
+
+@jax.custom_vjp
+def warp_planes_diff(src_feats_khwc: Array, A_k33: Array, b_k3: Array, planes_d: Array) -> Array:
+    """Differentiable warp_planes (gradients flow to src features only;
+    poses/intrinsics/planes are treated as constants, as in the
+    reference's training graph)."""
+    return warp_planes(src_feats_khwc, A_k33, b_k3, planes_d)
+
+
+def _warp_fwd(src, A, b, planes):
+    return warp_planes(src, A, b, planes), (A, b, planes)
+
+
+def _warp_bwd(res, ct):
+    A, b, planes = res
+    return (
+        warp_planes_bwd(ct, A, b, planes),
+        jnp.zeros_like(A),
+        jnp.zeros_like(b),
+        jnp.zeros_like(planes),
+    )
+
+
+warp_planes_diff.defvjp(_warp_fwd, _warp_bwd)

@@ -43,6 +43,8 @@ def build_net(cfg: Config, kind: str, train_bn: bool = False):
         min_matching_depth=cfg.min_matching_depth,
         max_matching_depth=cfg.max_matching_depth,
         compute_dtype=jnp.bfloat16 if cfg.precision == 16 else jnp.float32,
+        # fused warp kernel (fwd + custom-VJP bwd) on TPU; XLA path on CPU
+        use_pallas_warp=jax.default_backend() not in ("cpu",),
         train_bn=train_bn,
     )
     if kind == "bd":

@@ -108,9 +108,9 @@ def build_warped_views(
     # ---- bilinear gather of source features at all (d, h, w) points
     src_feats_c = src_feats_bkhwc.astype(compute_dtype)
     if use_pallas and w == 128 and h % 8 == 0 and c == 16:
-        # fused MXU one-hot warp kernel (forward-only; ~6.5x faster than
-        # the XLA gather on TPU). See ops/warp_kernel.py.
-        from implicit_depth_tpu.ops.warp_kernel import warp_planes
+        # fused MXU one-hot warp kernel with a custom-VJP transpose kernel
+        # (~18x faster than the XLA gather on TPU). See ops/warp_kernel.py.
+        from implicit_depth_tpu.ops.warp_kernel import warp_planes_diff as warp_planes
 
         A_bk33, b_bk3 = geometry.homography_components(
             src_K_bk44, src_T_cur_bk44, cur_invK_b44

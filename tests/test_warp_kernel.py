@@ -75,3 +75,61 @@ def test_warp_kernel_identity():
     planes = np.ones((1,), np.float32)
     got = warp_planes(jnp.asarray(src), jnp.asarray(A), jnp.asarray(b), jnp.asarray(planes), interpret=True)
     np.testing.assert_allclose(np.asarray(got)[0, 0], src[0], atol=1e-5)
+
+
+def test_warp_backward_matches_autodiff():
+    """Transpose kernel vs jax autodiff of the exact XLA sampler."""
+    import jax
+
+    src, A, b, planes = _setup(K=2, H=16, W=128, C=8, D=3)
+    ct = np.random.RandomState(3).randn(2, 3, 16, 128, 8).astype(np.float32)
+
+    def xla_warp(s):
+        from implicit_depth_tpu.core import geometry
+        from implicit_depth_tpu.core.sampling import sample_bilinear_idx
+
+        K, H, W, C = s.shape
+        grid = geometry.pixel_grid(H, W)
+        e3 = jnp.zeros((3,)).at[2].set(1.0)
+        M = jnp.asarray(planes)[None, :, None, None] * jnp.asarray(A)[:, None] \
+            + (jnp.asarray(b)[..., None] * e3)[:, None]
+        xyz = jnp.einsum("kdij,hwj->kdhwi", M, grid)
+        z = jnp.maximum(xyz[..., 2], 1e-5)
+        x = jnp.clip(xyz[..., 0] / z - 0.5, -2.0 * W, 2.0 * W)
+        y = jnp.clip(xyz[..., 1] / z - 0.5, -2.0 * H, 2.0 * H)
+        return jax.vmap(sample_bilinear_idx)(s, x, y)
+
+    _, vjp = jax.vjp(xla_warp, jnp.asarray(src))
+    ref_grad, = vjp(jnp.asarray(ct))
+
+    from implicit_depth_tpu.ops.warp_kernel import warp_planes_bwd
+
+    got = warp_planes_bwd(jnp.asarray(ct), jnp.asarray(A), jnp.asarray(b),
+                          jnp.asarray(planes), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_grad), atol=3e-4, rtol=1e-3)
+
+
+def test_warp_planes_diff_grad_flows():
+    import jax
+
+    src, A, b, planes = _setup(K=1, H=16, W=128, C=8, D=2)
+    from implicit_depth_tpu.ops import warp_kernel as wk
+
+    # interpret-mode twins of the vjp pair
+    def f(s):
+        return jnp.sum(wk.warp_planes(s, jnp.asarray(A), jnp.asarray(b),
+                                      jnp.asarray(planes), interpret=True) ** 2)
+
+    # finite check through the custom_vjp wrapper in interpret mode:
+    # monkeypatch interpret for CPU execution
+    orig_fwd, orig_bwd = wk.warp_planes, wk.warp_planes_bwd
+    wk.warp_planes = lambda *a, **kw: orig_fwd(*a, interpret=True)
+    wk.warp_planes_bwd = lambda *a, **kw: orig_bwd(*a, interpret=True)
+    try:
+        g = jax.grad(lambda s: jnp.sum(
+            wk.warp_planes_diff(s, jnp.asarray(A), jnp.asarray(b), jnp.asarray(planes)) ** 2
+        ))(jnp.asarray(src))
+    finally:
+        wk.warp_planes, wk.warp_planes_bwd = orig_fwd, orig_bwd
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
