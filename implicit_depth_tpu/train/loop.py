@@ -89,6 +89,30 @@ def _batch_to_jnp(batch):
     return cur, src
 
 
+def _log_bd_panels(logger: ExperimentLogger, step: int, cur: dict, pred) -> None:
+    """Validation image panels (bd_model.py:558-645): input RGB, GT depth,
+    binary target and prediction at the first query plane, for up to 4
+    batch elements."""
+    from implicit_depth_tpu.data.mvs_dataset import reverse_imagenet_normalize
+    from implicit_depth_tpu.utils.visualization import colormap_image, prepare_image_for_logging
+
+    image = np.asarray(cur["image"])
+    depth = np.asarray(cur["depth"])
+    rendered = np.asarray(cur["rendered_depth"])
+    pred = np.asarray(pred)
+    for j in range(min(image.shape[0], 4)):
+        logger.log_image(step, f"val/image/{j}",
+                         np.clip(reverse_imagenet_normalize(image[j]), 0, 1))
+        logger.log_image(step, f"val/depth/{j}",
+                         colormap_image(depth[j, ..., 0]))
+        mask = (np.nan_to_num(depth[j, ..., 0]) > 0) & (rendered[j, ..., 0] > 0)
+        target = (rendered[j, ..., 0] < depth[j, ..., 0]) & mask
+        logger.log_image(step, f"val/target/{j}",
+                         prepare_image_for_logging(target.astype(np.float32), normalize=False))
+        logger.log_image(step, f"val/pred/{j}",
+                         prepare_image_for_logging(pred[j, ..., 0] * mask, normalize=False))
+
+
 def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
         log_cb: Optional[Callable] = None) -> state_lib.TrainState:
     """Runs training end-to-end; returns the final state."""
@@ -172,6 +196,8 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
                 pred = jax.nn.sigmoid(cfg.bd_sigmoid_multiplier * out["pred_0"])
                 iou = bm.legacy_and_new_iou(cur["rendered_depth"], cur["depth"], pred)
                 vmetrics.append({k: float(v) for k, v in iou.items()})
+                if bi == 0:
+                    _log_bd_panels(logger, int(state.step), cur, pred)
             else:
                 out = net_eval.apply(variables, cur, src)
                 from implicit_depth_tpu.ops import image as image_ops

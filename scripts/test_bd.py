@@ -43,6 +43,24 @@ def main():
     assert cfg.load_weights_from_checkpoint, "--load_weights_from_checkpoint required"
     variables = ckpt_lib.load_params(cfg.load_weights_from_checkpoint, variables)
 
+    if cfg.temporal_eval:
+        from implicit_depth_tpu.data.scannet import ScanNetDataset
+        from implicit_depth_tpu.eval.temporal_driver import evaluate_temporal
+
+        meshes = {scan: ScanNetDataset.get_gt_mesh_path(cfg.dataset_path, cfg.split, scan)
+                  for scan in datasets}
+        result = evaluate_temporal(
+            net, variables, datasets, meshes,
+            eval_length=cfg.eval_length, warmup=cfg.warmup,
+            frame_multiplier=cfg.eval_frame_multiplier,
+            sigmoid_multiplier=cfg.bd_sigmoid_multiplier,
+            height=cfg.depth_height, width=cfg.depth_width,
+            max_frames_per_scene=cfg.max_frames,
+        )
+        print(f"temporal_score: {result['temporal_score']:.4f} "
+              f"({result['total_diffs']:.0f} flips / {result['total_verts']} verts)")
+        return
+
     thresholder = None
     if cfg.use_validation_thresholds:
         planes = jnp.asarray(np.linspace(1.5, 5.0, 8, dtype=np.float32))
