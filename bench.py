@@ -21,6 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+import jax.numpy as jnp
 
 jax.config.update(
     "jax_compilation_cache_dir",
@@ -41,13 +42,21 @@ def main() -> None:
     cur = jax.device_put(cur, dev)
     src = jax.device_put(src, dev)
 
-    jfn = jax.jit(fn)
+    # NOTE: under the axon tunnel block_until_ready can return before the
+    # computation finishes; a scalar readback is the only reliable sync.
+    # TPU execution is in-order, so timing N dispatches + one final
+    # readback measures true per-step latency.
+    jfn = jax.jit(lambda v, c, s: jax.tree.map(
+        lambda x: jnp.sum(x.astype(jnp.float32)), fn(v, c, s)))
+
     for _ in range(WARMUP):
-        out = jax.block_until_ready(jfn(variables, cur, src))
+        out = jfn(variables, cur, src)
+    _ = float(jax.tree.leaves(out)[0])
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = jax.block_until_ready(jfn(variables, cur, src))
+        out = jfn(variables, cur, src)
+    _ = float(jax.tree.leaves(out)[0])
     dt = (time.perf_counter() - t0) / ITERS
 
     batch = cur["image"].shape[0]

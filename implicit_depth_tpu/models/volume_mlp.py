@@ -86,13 +86,22 @@ class MetadataVolumeMLP(nn.Module):
 
         cur = cur_feats_bhwc.astype(dt)
 
-        # (b, d, h, w, hidden) accumulator, built from grouped matmuls
-        h1 = jnp.einsum("bkdhwc,kcf->bdhwf", wv.feats.astype(dt), w_vis_src)
-        h1 += jnp.einsum("bkdhw,kf->bdhwf", wv.depths.astype(dt), w_depths)
-        h1 += jnp.einsum("bkdhw,kf->bdhwf", wv.mask.astype(dt), w_mask)
-        h1 += jnp.einsum("bkdhw,kf->bdhwf", wv.dot.astype(dt), w_dot)
-        h1 += jnp.einsum("bkdhw,kf->bdhwf", wv.ray_angle.astype(dt), w_angle)
-        h1 += jnp.einsum("bkdhwi,kif->bdhwf", wv.src_rays.astype(dt), w_ray_src)
+        # (b, d, h, w, hidden) accumulator. Three grouped matmuls instead of
+        # six: the four scalar-per-view metadata channels (depths, mask,
+        # dot, ray-angle) stack into one contraction, and all plane/pixel/
+        # batch-constant groups collapse into broadcast adds. Keeps HBM
+        # traffic on the (b,d,h,w,128) accumulator to a minimum.
+        h1 = jnp.einsum("bkdhwc,kcf->bdhwf", wv.feats.astype(dt), w_vis_src,
+                        preferred_element_type=dt)
+        meta4 = jnp.stack(
+            [wv.depths.astype(dt), wv.mask.astype(dt), wv.dot.astype(dt),
+             wv.ray_angle.astype(dt)], axis=-1,
+        )  # (b, k, d, h, w, 4)
+        w_meta4 = jnp.stack([w_depths, w_mask, w_dot, w_angle], axis=1)  # (k, 4, f)
+        h1 += jnp.einsum("bkdhwi,kif->bdhwf", meta4, w_meta4,
+                         preferred_element_type=dt)
+        h1 += jnp.einsum("bkdhwi,kif->bdhwf", wv.src_rays.astype(dt), w_ray_src,
+                         preferred_element_type=dt)
 
         # plane-constant: (d, hidden) broadcast over b, h, w
         h1 += (wv.depth_planes.astype(dt)[:, None] * w_plane)[None, :, None, None, :]
