@@ -33,13 +33,23 @@ def evaluate_temporal(
     height: int = 192,
     width: int = 256,
     max_frames_per_scene: Optional[int] = None,
+    regression: bool = False,
 ) -> dict:
+    """With regression=True the net is a DepthNet and the occlusion
+    probability is the hard classifier (rendered < predicted depth)
+    (test_reg.py:145-187 temporal path)."""
     ev = TemporalEvaluator(height=height, width=width)
 
-    @jax.jit
-    def step(variables, cur, src):
-        out = net.apply(variables, cur, src, method=BDNet.forward_val)
-        return jax.nn.sigmoid(sigmoid_multiplier * out["pred_0"].astype(jnp.float32))
+    if regression:
+        @jax.jit
+        def step(variables, cur, src):
+            out = net.apply(variables, cur, src)
+            return (cur["rendered_depth"] < out["depth_pred_0"]).astype(jnp.float32)
+    else:
+        @jax.jit
+        def step(variables, cur, src):
+            out = net.apply(variables, cur, src, method=BDNet.forward_val)
+            return jax.nn.sigmoid(sigmoid_multiplier * out["pred_0"].astype(jnp.float32))
 
     for scene_id, ds in datasets_by_scene.items():
         ev.initialise_new_scene(gt_mesh_path=mesh_paths_by_scene[scene_id])
@@ -61,7 +71,7 @@ def evaluate_temporal(
 
             rendered = ev.render_plane(cur["cam_T_world"][0], cur["K_s0"][0])
             cur["rendered_depth"] = rendered[None, ..., None]
-            if net.use_prior:
+            if not regression and net.use_prior:
                 cur["prior_prediction"] = prior_pred
                 cur["prior_cam_T_world"] = prior_pose
 

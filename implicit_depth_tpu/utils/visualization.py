@@ -90,3 +90,26 @@ def write_video(path: str, frames: list[np.ndarray], fps: int = 30) -> None:
         arr = np.clip(np.asarray(f) * 255.0, 0, 255).astype(np.uint8)
         writer.write(cv2.cvtColor(arr, cv2.COLOR_RGB2BGR))
     writer.release()
+
+
+def normalize_depth(depth_hw: np.ndarray, mask_hw: Optional[np.ndarray] = None,
+                    robust: bool = False) -> np.ndarray:
+    """Percentile-trimmed depth normalisation for visualisation
+    (utils/generic_utils.py:43-81): drops the top/bottom 10% of valid
+    values, then (x - shift)/scale with mean/std (or median/MAD when
+    robust)."""
+    valid = np.isfinite(depth_hw)
+    if mask_hw is not None:
+        valid &= np.asarray(mask_hw) > 0
+    vals = np.sort(depth_hw[valid].ravel())
+    if vals.size == 0:
+        return depth_hw
+    trim = vals.size // 10
+    core = vals[trim: vals.size - trim] if vals.size > 2 * trim else vals
+    if robust:
+        shift = np.median(core)
+        scale = np.mean(np.abs(core - shift))
+    else:
+        shift = core.mean()
+        scale = core.std()
+    return (depth_hw - shift) / max(scale, 1e-10)

@@ -41,6 +41,31 @@ def main():
             metrics.update(bm.scores_to_dict(s))
         return metrics
 
+    if cfg.temporal_eval:
+        from implicit_depth_tpu.data.scannet import ScanNetDataset
+        from implicit_depth_tpu.eval.temporal_driver import evaluate_temporal
+
+        datasets = {scan: build_dataset(cfg, cfg.split, "bd", limit_to_scan_id=scan)
+                    for scan in (scans or ["scene0"])}
+        ds0 = next(iter(datasets.values()))
+        from implicit_depth_tpu.data.mvs_dataset import collate
+        cur, src = collate([ds0[0]])
+        cur = {k: jnp.asarray(v) for k, v in cur.items() if k != "frame_id_string"}
+        src = {k: jnp.asarray(v) for k, v in src.items() if k != "frame_id_string"}
+        variables = net.init({"params": jax.random.PRNGKey(0)}, cur, src)
+        assert cfg.load_weights_from_checkpoint
+        variables = ckpt_lib.load_params(cfg.load_weights_from_checkpoint, variables)
+        meshes = {scan: ScanNetDataset.get_gt_mesh_path(cfg.dataset_path, cfg.split, scan)
+                  for scan in datasets}
+        result = evaluate_temporal(
+            net, variables, datasets, meshes, regression=True,
+            eval_length=cfg.eval_length, warmup=cfg.warmup,
+            frame_multiplier=cfg.eval_frame_multiplier,
+            height=cfg.depth_height, width=cfg.depth_width,
+            max_frames_per_scene=cfg.max_frames)
+        print(f"temporal_score: {result['temporal_score']:.4f}")
+        return
+
     step = jax.jit(step_fn)
 
     avg = ResultsAverager(cfg.name, "depth metrics")
