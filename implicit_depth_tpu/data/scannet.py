@@ -20,6 +20,7 @@ import numpy as np
 
 from implicit_depth_tpu.data.mvs_dataset import GenericMVSDataset
 from implicit_depth_tpu.utils.io import color_jitter, read_image, readlines
+from implicit_depth_tpu.utils import native_io
 
 
 class ScanNetDataset(GenericMVSDataset):
@@ -101,7 +102,12 @@ class ScanNetDataset(GenericMVSDataset):
     def load_color(self, scan_id, frame_id) -> np.ndarray:
         cached = self._sensor(scan_id, frame_id, f"color.{self.image_width}.png")
         path = cached if os.path.exists(cached) else self._sensor(scan_id, frame_id, "color.jpg")
-        img = read_image(path, height=self.image_height, width=self.image_width)
+        img = None
+        if path.endswith(".jpg"):
+            # native libjpeg fast path (GIL-free; see utils/native_io.py)
+            img = native_io.decode_color_jpeg(path, self.image_height, self.image_width)
+        if img is None:
+            img = read_image(path, height=self.image_height, width=self.image_width)
         if self.split == "train" and self.color_jitter_train:
             img = color_jitter(img, self.rng)
         return img
@@ -143,6 +149,12 @@ class ScanNetDataset(GenericMVSDataset):
         return out
 
     def _load_depth_png(self, path: str, h: Optional[int] = None, w: Optional[int] = None) -> np.ndarray:
+        if h is not None:
+            native = native_io.decode_depth_png(
+                path, h, w, scale=1e-3,
+                min_valid=self.min_valid_depth, max_valid=self.max_valid_depth)
+            if native is not None:
+                return native
         depth = read_image(path, height=h, width=w, value_scale_factor=1e-3, nearest=True)
         invalid = ~((depth > self.min_valid_depth) & (depth < self.max_valid_depth))
         depth = depth.astype(np.float32)
