@@ -115,6 +115,8 @@ def evaluate_scenes(
     thresholder: Optional[bm.Thresholder] = None,
     binary_eval_depth: bool = False,
     max_batches_per_scene: Optional[int] = None,
+    cache_dir: Optional[str] = None,
+    sigmoid_multiplier: float = 1.0,
 ) -> dict:
     """Runs the full per-scene evaluation loop (test_bd.py:123-499).
 
@@ -125,7 +127,18 @@ def evaluate_scenes(
     if binary_eval_depth:
         step = make_depth_eval_step(net, thresholder)
     else:
-        step = make_eval_step(net, thresholds=thresholds, thresholder=thresholder)
+        step = make_eval_step(net, thresholds=thresholds, thresholder=thresholder,
+                              sigmoid_multiplier=sigmoid_multiplier)
+
+    pred_fn = None
+    if cache_dir is not None:
+        # prediction caching (--cache_depths, test_bd.py:406-428)
+        if binary_eval_depth:
+            pred_fn = jax.jit(lambda v, c, s: {"search_depths": net.apply(
+                v, c, s, method=BDNet.forward_infer_depth)["search_depths"]})
+        else:
+            pred_fn = jax.jit(lambda v, c, s: {"pred_0": jax.nn.sigmoid(
+                sigmoid_multiplier * net.apply(v, c, s, method=BDNet.forward_val)["pred_0"])})
 
     all_avg = ResultsAverager(name, "frame metrics")
     per_scene = {}
@@ -157,6 +170,17 @@ def evaluate_scenes(
                 elem["model_time"] = dt / nb * 1000.0
                 scene_avg.update_results(elem)
                 all_avg.update_results(elem)
+
+            if pred_fn is not None:
+                from implicit_depth_tpu.utils.caching import cache_model_outputs
+
+                preds = {k: np.asarray(v) for k, v in pred_fn(variables, cur, src).items()}
+                cache_model_outputs(
+                    os.path.join(cache_dir, str(scene_id)), preds,
+                    {**{k: np.asarray(v) for k, v in cur.items()},
+                     "frame_id_string": [f"{i:06d}" for i in idxs]},
+                    {}, bi, batch_size,
+                )
 
         scene_avg.compute_final_average(ignore_nans=True)
         per_scene[scene_id] = scene_avg

@@ -74,6 +74,9 @@ def main():
             jnp.asarray(np.linspace(1.5, 5.0, 8, dtype=np.float32)),
             jnp.asarray([0.5] * 8, dtype=np.float32)),
         binary_eval_depth=cfg.binary_eval_depth,
+        cache_dir=(os.path.join(cfg.output_base_path, cfg.name, "depth_cache")
+                   if cfg.cache_depths else None),
+        sigmoid_multiplier=cfg.bd_sigmoid_multiplier,
     )
     avg = results["all_scene"]
     avg.pretty_print_results(print_running_metrics=False)
