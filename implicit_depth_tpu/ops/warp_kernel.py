@@ -61,7 +61,6 @@ def _warp_kernel(
     G = _PGROUP
     # u coordinates replicated per plane-of-group: (G, W) row-major g
     u = jax.lax.broadcasted_iota(jnp.int32, (G, width), 1).astype(jnp.float32) + 0.5
-    gi = jax.lax.broadcasted_iota(jnp.int32, (G, width), 0)  # plane-in-group idx
     vv = jnp.float32(v) + 0.5
 
     a = [[A_ref[k, i, j] for j in range(3)] for i in range(3)]
