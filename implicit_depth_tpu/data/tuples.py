@@ -17,7 +17,7 @@ windows (generate_train_tuples.py:57-137, 229-377).
 from __future__ import annotations
 
 import random
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -29,7 +29,7 @@ Batch layout (NHWC everywhere, leading b):
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

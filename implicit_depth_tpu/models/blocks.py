@@ -11,7 +11,7 @@ Parity targets in the reference:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -15,8 +15,6 @@ FeaturePyramidNetwork, output taken at the 1/4-resolution level.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

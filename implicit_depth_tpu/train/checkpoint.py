@@ -18,7 +18,7 @@ import json
 import os
 import re
 import shutil
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

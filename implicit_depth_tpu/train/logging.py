@@ -12,8 +12,6 @@ import json
 import os
 import shutil
 import time
-from typing import Optional
-
 import numpy as np
 
 

@@ -12,9 +12,7 @@ bd_model.py:700-723) with:
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

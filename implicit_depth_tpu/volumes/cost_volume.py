@@ -29,7 +29,7 @@ Faithful quirks preserved (required for pretrained-weight parity):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -89,25 +89,36 @@ def build_warped_views(
     """
     b, k, h, w, c = src_feats_bkhwc.shape
     d = depth_planes_d.shape[0]
+    pallas_ok = use_pallas and w == 128 and h % 8 == 0 and c == 16
 
     # ---- coordinates (fp32 always; pose math parity w/ bd_model.py:196-204)
     M_bkd33 = geometry.plane_homographies(
         src_K_bk44, src_T_cur_bk44, cur_invK_b44, depth_planes_d
     )
     grid_hw3 = geometry.pixel_grid(h, w)
-    xyz = jnp.einsum(
-        "bkdij,hwj->bkdhwi", M_bkd33, grid_hw3,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (b, k, d, h, w, 3)
-    z = jnp.maximum(xyz[..., 2], 1e-5)
-    # +0.5-centre pixel coords -> sampler index space is u - 0.5
-    # (tests/test_sampling.py::test_index_space_matches_plus_half_convention)
-    x_idx = jnp.clip(xyz[..., 0] / z - 0.5, -2.0 * w, 2.0 * w)
-    y_idx = jnp.clip(xyz[..., 1] / z - 0.5, -2.0 * h, 2.0 * h)
+    if pallas_ok:
+        # the kernel computes its own sample coords; only the source-view
+        # depth (z) metadata is needed here -> single-row einsum, 3x less
+        # HBM than full xyz
+        z = jnp.einsum(
+            "bkdj,hwj->bkdhw", M_bkd33[..., 2, :], grid_hw3,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        z = jnp.maximum(z, 1e-5)
+    else:
+        xyz = jnp.einsum(
+            "bkdij,hwj->bkdhwi", M_bkd33, grid_hw3,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (b, k, d, h, w, 3)
+        z = jnp.maximum(xyz[..., 2], 1e-5)
+        # +0.5-centre pixel coords -> sampler index space is u - 0.5
+        # (tests/test_sampling.py::test_index_space_matches_plus_half_convention)
+        x_idx = jnp.clip(xyz[..., 0] / z - 0.5, -2.0 * w, 2.0 * w)
+        y_idx = jnp.clip(xyz[..., 1] / z - 0.5, -2.0 * h, 2.0 * h)
 
     # ---- bilinear gather of source features at all (d, h, w) points
     src_feats_c = src_feats_bkhwc.astype(compute_dtype)
-    if use_pallas and w == 128 and h % 8 == 0 and c == 16:
+    if pallas_ok:
         # fused MXU one-hot warp kernel with a custom-VJP transpose kernel
         # (~18x faster than the XLA gather on TPU). See ops/warp_kernel.py.
         from implicit_depth_tpu.ops.warp_kernel import warp_planes_diff as warp_planes
@@ -141,14 +152,20 @@ def build_warped_views(
     )
     cur_rays = geometry.normalize(rays, axis=-1)
 
-    # source-view rays: world point minus source camera origin (in cur frame)
-    world_pts = rays[:, None, None] * depth_planes_d[None, None, :, None, None, None]
-    src_origin = src_poses_bk44[:, :, :3, 3]  # (b, k, 3)
+    # source-view rays: world point minus source camera origin (in cur
+    # frame). The big (b, k, d, h, w, 3) intermediates run in compute_dtype
+    # (bf16 on TPU) — the reference computes these under fp16 AMP too.
+    world_pts = (
+        rays.astype(compute_dtype)[:, None, None]
+        * depth_planes_d.astype(compute_dtype)[None, None, :, None, None, None]
+    )
+    src_origin = src_poses_bk44[:, :, :3, 3].astype(compute_dtype)  # (b, k, 3)
     src_rays = geometry.normalize(
         world_pts - src_origin[:, :, None, None, None, :], axis=-1
     )  # (b, k, d, h, w, 3)
 
-    ray_angle = jnp.einsum("bhwi,bkdhwi->bkdhw", cur_rays, src_rays)
+    ray_angle = jnp.einsum("bhwi,bkdhwi->bkdhw", cur_rays.astype(compute_dtype),
+                           src_rays, preferred_element_type=compute_dtype)
 
     pd, rm, tm = geometry.pose_distance(src_poses_bk44)
     pose_dist = jnp.stack([pd, rm, tm], axis=-1)  # (b, k, 3)
