@@ -116,7 +116,7 @@ class BDNet(nn.Module):
         self.binary_mlp = BinaryMLPNetwork()
 
     # ---------------- shared trunk ----------------
-    def trunk(self, cur_data: dict, src_data: dict, flip) -> dict:
+    def trunk(self, cur_data: dict, src_data: dict, flip, stop_at: str = "") -> dict:
         """Encoders + cost volume + U-Net. Returns per-scale decoder
         features (unflipped), lowest-cost depth, and the planes."""
         cur_image = cur_data["image"]
@@ -139,6 +139,8 @@ class BDNet(nn.Module):
 
         # image prior features on the (possibly flipped) current image
         enc_feats = self.encoder(cur_image.astype(self.compute_dtype))
+        if stop_at == "encoder":
+            return {"features": enc_feats}
 
         # matching features for all views in one batch
         all_images = jnp.concatenate([cur_image[:, None], src_image], axis=1)
@@ -148,6 +150,8 @@ class BDNet(nn.Module):
         # unflip matching features before MVS (bd_model.py:225-228)
         mfeats = maybe_flip(mfeats, flip, 3)
         m_cur, m_src = mfeats[:, 0], mfeats[:, 1:]
+        if stop_at == "matching":
+            return {"features": [m_cur, m_src] + list(enc_feats)}
 
         planes = geometry.log_depth_planes(
             self.min_matching_depth, self.max_matching_depth, self.num_depth_bins
@@ -165,11 +169,15 @@ class BDNet(nn.Module):
                 planes, compute_dtype=self.compute_dtype,
                 use_pallas=self.use_pallas_warp,
             )
+            if stop_at == "warp":
+                return {"features": list(wv.feats) + list(enc_feats)}
             if self.feature_volume_type == "mlp_feature_volume":
                 volume = self.volume_mlp(wv, m_cur)  # (b, d, h, w)
             else:
                 volume = cv.dot_cost_volume(wv)
             lowest = cv.lowest_cost_depth(jax.lax.stop_gradient(volume), planes)
+            if stop_at == "volume":
+                return {"features": [volume] + list(enc_feats)}
 
         # re-flip the volume to align with flipped image features
         volume_bhwd = jnp.moveaxis(volume, 1, -1)  # (b, h, w, d)
@@ -178,6 +186,8 @@ class BDNet(nn.Module):
         cv_feats = self.cv_encoder(
             volume_bhwd.astype(self.compute_dtype), enc_feats[self.matching_scale:]
         )
+        if stop_at == "cv_encoder":
+            return {"features": cv_feats}
         feats = list(enc_feats[: self.matching_scale]) + cv_feats
         dec = self.decoder(feats)  # {scale: (b, hs, ws, c)}
         dec = {s: maybe_flip(f, flip, 2) for s, f in dec.items() if isinstance(s, int)}
