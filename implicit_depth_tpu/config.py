@@ -109,6 +109,7 @@ class Config:
     dump_depth_visualization: bool = False
 
     # ---- TPU-specific (new)
+    remat_volume: bool = False  # rematerialise warp+volume in backward
     data_axis: str = "data"
     mesh_shape: Optional[List[int]] = None  # None => all devices on data axis
     compute_dtype: str = "bfloat16"

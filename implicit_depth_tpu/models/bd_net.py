@@ -75,6 +75,7 @@ class BDNet(nn.Module):
     bd_sigmoid_multiplier: float = 1.0
     compute_dtype: Any = jnp.float32
     use_pallas_warp: bool = False  # fused TPU warp kernel (forward-only)
+    remat_volume: bool = False  # rematerialise the warp+volume block in bwd
     train_bn: bool = False  # update batch stats (training)
 
     def setup(self):
@@ -162,19 +163,18 @@ class BDNet(nn.Module):
             volume = cv.zero_cost_volume(b, self.num_depth_bins, h, w, m_cur.dtype)
             lowest = cv.lowest_cost_depth(volume, planes)
         else:
-            wv = cv.build_warped_views(
-                m_cur, m_src,
+            vol_fn = type(self)._volume
+            if self.remat_volume:
+                # recompute the warp + metadata MLP in the backward pass:
+                # drops ~0.5 GB/sample of residuals (warped feats, h1) for
+                # one extra ~11 ms kernel run — required for the reference's
+                # batch-12 training config on a single 16 GB chip
+                vol_fn = nn.remat(vol_fn)
+            volume = vol_fn(
+                self, m_cur, m_src,
                 src_data[f"K_s{self.matching_scale}"], src_T_cur,
-                cur_data[f"invK_s{self.matching_scale}"], cur_T_src,
-                planes, compute_dtype=self.compute_dtype,
-                use_pallas=self.use_pallas_warp,
+                cur_data[f"invK_s{self.matching_scale}"], cur_T_src, planes,
             )
-            if stop_at == "warp":
-                return {"features": list(wv.feats) + list(enc_feats)}
-            if self.feature_volume_type == "mlp_feature_volume":
-                volume = self.volume_mlp(wv, m_cur)  # (b, d, h, w)
-            else:
-                volume = cv.dot_cost_volume(wv)
             lowest = cv.lowest_cost_depth(jax.lax.stop_gradient(volume), planes)
             if stop_at == "volume":
                 return {"features": [volume] + list(enc_feats)}
@@ -192,6 +192,16 @@ class BDNet(nn.Module):
         dec = self.decoder(feats)  # {scale: (b, hs, ws, c)}
         dec = {s: maybe_flip(f, flip, 2) for s, f in dec.items() if isinstance(s, int)}
         return {"features": dec, "lowest_cost": lowest, "depth_planes": planes}
+
+    def _volume(self, m_cur, m_src, src_K, src_T_cur, cur_invK, cur_T_src, planes):
+        wv = cv.build_warped_views(
+            m_cur, m_src, src_K, src_T_cur, cur_invK, cur_T_src,
+            planes, compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas_warp,
+        )
+        if self.feature_volume_type == "mlp_feature_volume":
+            return self.volume_mlp(wv, m_cur)  # (b, d, h, w)
+        return cv.dot_cost_volume(wv)
 
     # ---------------- query heads ----------------
     def run_mlp_train(self, cur_data: dict, features: dict) -> dict:

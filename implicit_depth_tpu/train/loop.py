@@ -49,7 +49,8 @@ def build_net(cfg: Config, kind: str, train_bn: bool = False):
     )
     if kind == "bd":
         return BDNet(use_prior=cfg.use_prior,
-                     bd_sigmoid_multiplier=cfg.bd_sigmoid_multiplier, **common)
+                     bd_sigmoid_multiplier=cfg.bd_sigmoid_multiplier,
+                     remat_volume=cfg.remat_volume and train_bn, **common)
     return DepthNet(**common)
 
 
