@@ -74,6 +74,7 @@ def build_dataset(cfg: Config, split: str, kind: str, limit_to_scan_id=None):
         ),
         limit_to_scan_id=limit_to_scan_id,
         skip_frames=cfg.skip_frames,
+        include_full_res_depth=cfg.high_res_validation,
     )
     if cfg.dataset == "synthetic":
         for k in ("mv_tuple_file_suffix", "tuple_info_file_location",

@@ -30,7 +30,15 @@ def main():
     def step_fn(variables, cur, src):
         out = net.apply(variables, cur, src)
         pred = out["depth_pred_0"]
-        gt = cur["depth"]
+        if cfg.high_res_validation and "full_res_depth" in cur:
+            # score upsampled predictions against the native-res GT
+            # (depth_model.py:631-652 high-res validation)
+            from implicit_depth_tpu.models.blocks import resize_bilinear
+
+            gt = cur["full_res_depth"]
+            pred = resize_bilinear(pred, gt.shape[1], gt.shape[2])
+        else:
+            gt = cur["depth"]
         b = gt.shape[0]
         valid = jnp.nan_to_num(gt, nan=0.0) > 0.5
         metrics = compute_depth_metrics_batched(
