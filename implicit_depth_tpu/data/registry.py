@@ -45,6 +45,6 @@ def get_dataset(name: str, split_filepath: Optional[str] = None,
     scans = None
     if single_debug_scan_id is not None:
         scans = [single_debug_scan_id]
-    elif split_filepath is not None:
+    elif split_filepath:
         scans = [s for s in readlines(split_filepath) if s.strip()]
     return cls, scans
