@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from implicit_depth_tpu.data.mvs_dataset import collate
 from implicit_depth_tpu.eval import binary_metrics as bm
 from implicit_depth_tpu.eval.metrics import ResultsAverager, compute_depth_metrics_batched
 from implicit_depth_tpu.models.bd_net import BDNet
@@ -143,15 +142,20 @@ def evaluate_scenes(
     per_scene = {}
     fwd_time, fwd_frames = 0.0, 0
 
+    from implicit_depth_tpu.data.loader import BatchLoader
+
     for scene_id, ds in datasets_by_scene.items():
         scene_avg = ResultsAverager(name, f"scene {scene_id}")
-        n = len(ds)
-        batches = range(0, n, batch_size)
-        for bi, start in enumerate(batches):
+        # threaded prefetch decodes the next batch while the TPU scores the
+        # current one (the reference's DataLoader role, test_bd.py:143-152)
+        loader = BatchLoader(ds, batch_size, shuffle=False, num_workers=4,
+                             prefetch=2, drop_last=False, epochs=1)
+        for bi, (cur, src) in enumerate(iter(loader)):
             if max_batches_per_scene is not None and bi >= max_batches_per_scene:
+                loader.stop()
                 break
-            idxs = range(start, min(start + batch_size, n))
-            cur, src = collate([ds[i] for i in idxs])
+            idxs = range(bi * batch_size,
+                         min((bi + 1) * batch_size, len(ds)))
             cur = {k: jnp.asarray(v) for k, v in cur.items() if k != "frame_id_string"}
             src = {k: jnp.asarray(v) for k, v in src.items() if k != "frame_id_string"}
 
