@@ -71,6 +71,13 @@ class ARKitDataset(GenericMVSDataset):
         path = os.path.join(self._scan_dir(scan_id), "images", f"{frame_id}.jpg")
         return read_image(path, height=self.image_height, width=self.image_width)
 
+    def get_high_res_color_path(self, scan_id, frame_id):
+        # cached resize (arkit_dataset.py:270-292) if present, else native
+        cached = os.path.join(self._scan_dir(scan_id), "images",
+                              f"{frame_id}_{self.high_res_image_height}.png")
+        return cached if os.path.exists(cached) else os.path.join(
+            self._scan_dir(scan_id), "images", f"{frame_id}.jpg")
+
     def load_depth(self, scan_id, frame_id):
         return np.ones((self.depth_height, self.depth_width), np.float32)
 

@@ -112,6 +112,9 @@ class ColmapDataset(GenericMVSDataset):
         path = os.path.join(self._scan_dir(scan_id), "images", frame_id)
         return read_image(path, height=self.image_height, width=self.image_width)
 
+    def get_high_res_color_path(self, scan_id, frame_id):
+        return os.path.join(self._scan_dir(scan_id), "images", frame_id)
+
     def load_depth(self, scan_id, frame_id):
         return np.ones((self.depth_height, self.depth_width), np.float32)
 

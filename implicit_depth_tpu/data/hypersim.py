@@ -176,6 +176,12 @@ class HypersimDataset(GenericMVSDataset):
                             f"frame.{int(frame_id):04d}.tonemap.jpg")
         return read_image(path, height=self.image_height, width=self.image_width)
 
+    def get_high_res_color_path(self, scan_id, frame_id):
+        scene, cam = self._scene_cam(scan_id)
+        return os.path.join(self._image_dir(scan_id),
+                            f"scene_{cam}_final_preview",
+                            f"frame.{int(frame_id):04d}.tonemap.jpg")
+
     def _depth_h5(self, scan_id, frame_id, planar: bool = True):
         import h5py
 

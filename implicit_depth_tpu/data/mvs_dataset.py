@@ -12,6 +12,8 @@ cur frame dict:
   [train BD] sampled_rays (N, 2) pixel coords (+0.5 centres, gt_depth
              space), sampled_depths (N, S)
   [val BD]   rendered_depth (hd, wd, P), 8 planes 1.5..5.0 m
+  [optional] high_res_color (Hh, Wh, 3) imagenet-normalised
+             (generic_mvs_dataset.py:604-609)
 src dict: same keys stacked on a leading source axis, sorted by DVMVS
 pose distance to the reference frame
 (datasets/generic_mvs_dataset.py:791-807).
@@ -113,6 +115,8 @@ class GenericMVSDataset:
         image_width: int = 512,
         include_full_res_depth: bool = False,
         include_high_res_color: bool = False,
+        high_res_image_height: int = 480,
+        high_res_image_width: int = 640,
         shuffle_tuple: bool = False,
         get_bd_info: bool = False,
         full_depth_supervision: bool = True,
@@ -129,6 +133,8 @@ class GenericMVSDataset:
         self.depth_width = image_width // 2
         self.include_full_res_depth = include_full_res_depth
         self.include_high_res_color = include_high_res_color
+        self.high_res_image_height = high_res_image_height
+        self.high_res_image_width = high_res_image_width
         self.shuffle_tuple = shuffle_tuple
         self.get_bd_info = get_bd_info
         self.full_depth_supervision = full_depth_supervision
@@ -174,6 +180,25 @@ class GenericMVSDataset:
         """(H, W) native-res depth; NaN invalid."""
         raise NotImplementedError
 
+    def get_high_res_color_path(self, scan_id, frame_id) -> Optional[str]:
+        """Filepath of the frame's RGB at (or above) high-res resolution;
+        None when the dataset has no high-res source."""
+        return None
+
+    def load_high_res_color(self, scan_id, frame_id) -> np.ndarray:
+        """(Hh, Wh, 3) float in [0,1] at high_res_image_{height,width}
+        (generic_mvs_dataset.py:472-494)."""
+        from implicit_depth_tpu.utils.io import read_image
+
+        path = self.get_high_res_color_path(scan_id, frame_id)
+        if path is None:
+            raise NotImplementedError(
+                f"{type(self).__name__} has no high-res color source"
+            )
+        return read_image(
+            path, height=self.high_res_image_height, width=self.high_res_image_width
+        )
+
     def get_frame_id_string(self, frame_id) -> str:
         return str(frame_id)
 
@@ -211,6 +236,13 @@ class GenericMVSDataset:
                 fr = fr[:, ::-1].copy()
             out["full_res_depth"] = fr[..., None]
             out["full_res_mask"] = (np.isfinite(fr) & (fr > 0))[..., None]
+
+        if self.include_high_res_color:
+            # generic_mvs_dataset.py:604-609: normalised + data-space flip
+            hrc = self.load_high_res_color(scan_id, frame_id).astype(np.float32)
+            if flip:
+                hrc = hrc[:, ::-1].copy()
+            out["high_res_color"] = imagenet_normalize(hrc)
 
         if self.pass_frame_id:
             out["frame_id_string"] = self.get_frame_id_string(frame_id)

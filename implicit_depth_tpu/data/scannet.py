@@ -112,6 +112,14 @@ class ScanNetDataset(GenericMVSDataset):
             img = color_jitter(img, self.rng)
         return img
 
+    def get_high_res_color_path(self, scan_id, frame_id):
+        # cached resize at the high-res height if present, else native jpg
+        # (scannet_dataset.py:349-375)
+        cached = self._sensor(
+            scan_id, frame_id, f"color.{self.high_res_image_height}.png")
+        return cached if os.path.exists(cached) else self._sensor(
+            scan_id, frame_id, "color.jpg")
+
     def load_pose(self, scan_id, frame_id):
         T = np.genfromtxt(self._sensor(scan_id, frame_id, "pose.txt")).astype(np.float32)
         return T, np.linalg.inv(T).astype(np.float32)

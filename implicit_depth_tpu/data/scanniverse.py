@@ -109,6 +109,10 @@ class ScanniverseDataset(GenericMVSDataset):
         path = os.path.join(self._scan_dir(scan_id), "images", f"frame_{int(frame_id):05d}.jpg")
         return read_image(path, height=self.image_height, width=self.image_width)
 
+    def get_high_res_color_path(self, scan_id, frame_id):
+        return os.path.join(self._scan_dir(scan_id), "images",
+                            f"frame_{int(frame_id):05d}.jpg")
+
     def load_depth(self, scan_id, frame_id):
         return np.ones((self.depth_height, self.depth_width), np.float32)
 

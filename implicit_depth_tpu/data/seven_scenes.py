@@ -78,6 +78,9 @@ class SevenScenesDataset(GenericMVSDataset):
             d, f"frame-{frame_id}.color.png")
         return read_image(path, height=self.image_height, width=self.image_width)
 
+    def get_high_res_color_path(self, scan_id, frame_id):
+        return os.path.join(self._scan_dir(scan_id), f"frame-{frame_id}.color.png")
+
     def _load_depth_png(self, path, h=None, w=None):
         depth = read_image(path, height=h, width=w, value_scale_factor=1e-3, nearest=True)
         invalid = ~((depth > self.min_valid_depth) & (depth < self.max_valid_depth))

@@ -83,6 +83,10 @@ class VDRDataset(GenericMVSDataset):
         path = os.path.join(self._scan_dir(scan_id), frame["rgb"])
         return read_image(path, height=self.image_height, width=self.image_width)
 
+    def get_high_res_color_path(self, scan_id, frame_id):
+        frame = self._capture(scan_id)[int(frame_id)]
+        return os.path.join(self._scan_dir(scan_id), frame["rgb"])
+
     def _load_lidar(self, scan_id, frame_id):
         frame = self._capture(scan_id)[int(frame_id)]
         ddir = self._scan_dir(scan_id)

@@ -102,6 +102,98 @@ def make_depth_eval_step(net: BDNet, thresholder: Optional[bm.Thresholder] = Non
     return jax.jit(step)
 
 
+def make_forward_fn(
+    net: BDNet,
+    binary_eval_depth: bool = False,
+    thresholder: Optional[bm.Thresholder] = None,
+    sigmoid_multiplier: float = 1.0,
+):
+    """Jitted model-only forward — the timed unit of the reference's
+    `model_time` protocol (CUDA events around the forward,
+    test_bd.py:196-212). Returns {"pred": ..., "sync": scalar}; the
+    scalar is read back on the host to synchronise the timer (plain
+    block_until_ready is unreliable under the axon tunnel)."""
+    if binary_eval_depth:
+        tb = None if thresholder is None else thresholder.bins
+        tv = None if thresholder is None else thresholder.thresholds
+
+        def fwd(variables, cur_data, src_data):
+            out = net.apply(
+                variables, cur_data, src_data,
+                method=BDNet.forward_infer_depth,
+                threshold_bins=tb, threshold_values=tv,
+            )
+            pred = out["search_depths"][..., None].astype(jnp.float32)
+            return {"pred": pred, "sync": jnp.sum(pred)}
+    else:
+
+        def fwd(variables, cur_data, src_data):
+            out = net.apply(variables, cur_data, src_data, method=BDNet.forward_val)
+            pred = jax.nn.sigmoid(
+                sigmoid_multiplier * out["pred_0"].astype(jnp.float32))
+            return {"pred": pred, "sync": jnp.sum(pred)}
+
+    return jax.jit(fwd)
+
+
+def make_score_fn(
+    binary_eval_depth: bool = False,
+    thresholds: Optional[Sequence[float]] = None,
+    thresholder: Optional[bm.Thresholder] = None,
+    depth_planes: Sequence[float] = bm.DEFAULT_PLANES,
+):
+    """Jitted scorer over an already-computed prediction (the part the
+    reference runs un-timed after the forward, test_bd.py:238-318)."""
+
+    def score(pred, cur_data):
+        gt = cur_data["depth"]  # (b, hd, wd, 1) NaN invalid
+        if binary_eval_depth:
+            b = gt.shape[0]
+            valid = jnp.nan_to_num(gt, nan=0.0) > 0.5
+            return compute_depth_metrics_batched(
+                jnp.nan_to_num(gt, nan=1.0).reshape(b, -1),
+                pred.reshape(b, -1),
+                valid.reshape(b, -1),
+            )
+
+        query = cur_data["rendered_depth"]
+        hd, wd = gt.shape[1], gt.shape[2]
+        if pred.shape[1] != hd:
+            pred_r = resize_bilinear(pred, hd, wd)
+            query = resize_bilinear(query, hd, wd)
+        else:
+            pred_r = pred
+
+        surface = bm.get_surface_mask(gt, query)
+        boundary = bm.get_boundary_mask(gt, query)
+        scores = {}
+        if thresholder is not None:
+            thr = thresholder.get_thresholds(query)
+            for tag, extra in ((None, None), ("surface", surface), ("boundary", boundary)):
+                s = bm.plane_scores(query, gt, pred_r, thr, extra_mask_bhwd=extra)
+                scores.update(bm.scores_to_dict(s, None, depth_planes, tag=tag))
+        else:
+            for t in (thresholds or bm.DEFAULT_THRESHOLDS):
+                s = bm.plane_scores(query, gt, pred_r, float(t))
+                scores.update(bm.scores_to_dict(s, float(t), depth_planes))
+        return scores
+
+    return jax.jit(score)
+
+
+def _pad_batch(arrays: dict, target: int) -> dict:
+    """Pads every array's leading dim to `target` by repeating the last
+    element, so remainder batches reuse the compiled executable instead of
+    triggering a fresh XLA compile (static shapes, SURVEY §7.1)."""
+    out = {}
+    for k, v in arrays.items():
+        n = v.shape[0]
+        if n < target:
+            v = np.concatenate([v, np.repeat(v[-1:], target - n, axis=0)])
+        out[k] = v
+    return out
+
+
 def evaluate_scenes(
     net: BDNet,
     variables,
@@ -122,28 +214,31 @@ def evaluate_scenes(
     Returns {"all_scene": ResultsAverager, "scenes": {id: averager},
              "model_time_ms": float}.
     """
-    if binary_eval_depth:
-        step = make_depth_eval_step(net, thresholder)
-    else:
-        step = make_eval_step(net, thresholds=thresholds, thresholder=thresholder,
-                              sigmoid_multiplier=sigmoid_multiplier)
+    fwd = make_forward_fn(net, binary_eval_depth=binary_eval_depth,
+                          thresholder=thresholder,
+                          sigmoid_multiplier=sigmoid_multiplier)
+    score = make_score_fn(binary_eval_depth=binary_eval_depth,
+                          thresholds=thresholds, thresholder=thresholder)
+    # the ~100 per-frame metrics leave the device as ONE stacked (b, n)
+    # array — per-key readbacks cost a host round-trip each, which
+    # dominates wall time through a remote-device tunnel
+    score_keys: list = []
+    stacked_score = None
 
-    pred_fn = None
-    if cache_dir is not None:
-        # prediction caching (--cache_depths, test_bd.py:406-428)
-        if binary_eval_depth:
-            pred_fn = jax.jit(lambda v, c, s: {"search_depths": net.apply(
-                v, c, s, method=BDNet.forward_infer_depth)["search_depths"]})
-        else:
-            pred_fn = jax.jit(lambda v, c, s: {"pred_0": jax.nn.sigmoid(
-                sigmoid_multiplier * net.apply(v, c, s, method=BDNet.forward_val)["pred_0"])})
+    def _make_stacked(pred, cur_j):
+        nonlocal score_keys, stacked_score
+        score_keys = sorted(jax.eval_shape(score, pred, cur_j).keys())
+        stacked_score = jax.jit(lambda p, c: jnp.stack(
+            [score(p, c)[k] for k in score_keys], axis=-1))
 
     all_avg = ResultsAverager(name, "frame metrics")
     per_scene = {}
     fwd_time, fwd_frames = 0.0, 0
+    step_time = 0.0
 
     from implicit_depth_tpu.data.loader import BatchLoader
 
+    first_batch = True
     for scene_id, ds in datasets_by_scene.items():
         scene_avg = ResultsAverager(name, f"scene {scene_id}")
         # threaded prefetch decodes the next batch while the TPU scores the
@@ -154,34 +249,52 @@ def evaluate_scenes(
             if max_batches_per_scene is not None and bi >= max_batches_per_scene:
                 loader.stop()
                 break
-            idxs = range(bi * batch_size,
-                         min((bi + 1) * batch_size, len(ds)))
-            cur = {k: jnp.asarray(v) for k, v in cur.items() if k != "frame_id_string"}
-            src = {k: jnp.asarray(v) for k, v in src.items() if k != "frame_id_string"}
+            frame_ids = cur.get("frame_id_string")
+            cur_np = {k: v for k, v in cur.items() if k != "frame_id_string"}
+            src_np = {k: v for k, v in src.items() if k != "frame_id_string"}
+            nb = next(iter(cur_np.values())).shape[0]
+            if frame_ids is None:
+                frame_ids = [f"{bi * batch_size + i:06d}" for i in range(nb)]
+            # pad remainder batches to the fixed batch shape: one compile
+            # per eval, not one per odd-sized scene tail
+            cur_np = _pad_batch(cur_np, batch_size)
+            src_np = _pad_batch(src_np, batch_size)
+            cur_j = {k: jnp.asarray(v) for k, v in cur_np.items()}
+            src_j = {k: jnp.asarray(v) for k, v in src_np.items()}
 
             t0 = time.perf_counter()
-            scores = step(variables, cur, src)
-            scores = {k: np.asarray(v) for k, v in scores.items()}  # sync
+            out = fwd(variables, cur_j, src_j)
+            float(out["sync"])  # device sync (scalar readback)
             dt = time.perf_counter() - t0
-            nb = len(list(idxs))
-            if bi > 0:  # skip compile batch
+
+            if stacked_score is None:
+                _make_stacked(out["pred"], cur_j)
+            arr = np.asarray(stacked_score(out["pred"], cur_j))  # (b, n) sync
+            scores = {k: arr[:, i] for i, k in enumerate(score_keys)}
+            dt_step = time.perf_counter() - t0
+            if not first_batch:  # skip compile batch
                 fwd_time += dt
+                step_time += dt_step
                 fwd_frames += nb
+            first_batch = False
 
             for ei in range(nb):
                 elem = {k: v[ei] for k, v in scores.items()}
-                elem["model_time"] = dt / nb * 1000.0
+                elem["model_time"] = dt / batch_size * 1000.0
                 scene_avg.update_results(elem)
                 all_avg.update_results(elem)
 
-            if pred_fn is not None:
+            if cache_dir is not None:
+                # prediction caching (--cache_depths, test_bd.py:406-428),
+                # keyed by the dataset's true frame_id_string when available
                 from implicit_depth_tpu.utils.caching import cache_model_outputs
 
-                preds = {k: np.asarray(v) for k, v in pred_fn(variables, cur, src).items()}
+                pred_key = "search_depths" if binary_eval_depth else "pred_0"
+                preds = {pred_key: np.asarray(out["pred"])[:nb]}
                 cache_model_outputs(
                     os.path.join(cache_dir, str(scene_id)), preds,
-                    {**{k: np.asarray(v) for k, v in cur.items()},
-                     "frame_id_string": [f"{i:06d}" for i in idxs]},
+                    {**{k: v[:nb] for k, v in cur_np.items()},
+                     "frame_id_string": list(frame_ids)[:nb]},
                     {}, bi, batch_size,
                 )
 
@@ -198,5 +311,8 @@ def evaluate_scenes(
     return {
         "all_scene": all_avg,
         "scenes": per_scene,
+        # forward-only, the reference's protocol (test_bd.py:196-212)
         "model_time_ms": (fwd_time / max(fwd_frames, 1)) * 1000.0,
+        # forward + upsample + IoU scoring, all on device
+        "step_time_ms": (step_time / max(fwd_frames, 1)) * 1000.0,
     }

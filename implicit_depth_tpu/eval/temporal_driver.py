@@ -66,8 +66,12 @@ def evaluate_temporal(
                     ev.compute_vertex_occlusion_changes()
                 depth_np = np.asarray(cur["depth"])[0, ..., 0]
                 ev.initialise_new_plane(depth_np, np.asarray(cur["world_T_cam"])[0])
-                prior_pred = None
-                prior_pose = None
+                # -1 is the model's invalid-prior sentinel (sample_prior
+                # output); an all--1 prior with the current pose is the
+                # no-prior case without switching the jitted program's
+                # pytree structure (None -> array would force a retrace)
+                prior_pred = -jnp.ones((1, height, width, 1), jnp.float32)
+                prior_pose = cur["cam_T_world"]
 
             rendered = ev.render_plane(cur["cam_T_world"][0], cur["K_s0"][0])
             cur["rendered_depth"] = rendered[None, ..., None]

@@ -74,7 +74,7 @@ class BDNet(nn.Module):
     use_prior: bool = False
     bd_sigmoid_multiplier: float = 1.0
     compute_dtype: Any = jnp.float32
-    use_pallas_warp: bool = False  # fused TPU warp kernel (forward-only)
+    use_pallas_warp: bool = False  # fused TPU warp kernel (fwd + custom-VJP bwd)
     remat_volume: bool = False  # rematerialise the warp+volume block in bwd
     train_bn: bool = False  # update batch stats (training)
 

@@ -161,10 +161,21 @@ def warp_planes(
     Dp = -(-D // _PGROUP) * _PGROUP
     planes_padded = jnp.pad(planes_d.astype(jnp.float32), (0, Dp - D),
                             constant_values=1.0)
-    src_cmaj = jnp.moveaxis(src_feats_khwc, -1, 2)  # (K, H, C, W)
+    # lane/sublane tiling for arbitrary shapes: pad W to the 128-lane
+    # multiple and source H to the row-chunk multiple with ZERO columns/
+    # rows. Zeros padding is exact here — bilinear with zeros padding
+    # treats out-of-range corners as 0, so a sample straddling the real
+    # border blends against genuine zeros either way. Padded *output*
+    # columns are junk and sliced off below.
+    Wp = -(-W // 128) * 128
+    Hp = -(-H // _CHUNK) * _CHUNK
+    src = src_feats_khwc
+    if Wp != W or Hp != H:
+        src = jnp.pad(src, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+    src_cmaj = jnp.moveaxis(src, -1, 2)  # (K, Hp, C, Wp)
 
     kernel = functools.partial(
-        _warp_kernel, height=H, width=W, channels=C, num_planes=Dp
+        _warp_kernel, height=Hp, width=Wp, channels=C, num_planes=Dp
     )
     out = pl.pallas_call(
         kernel,
@@ -174,12 +185,12 @@ def warp_planes(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H, C, W), lambda k, v: (k, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hp, C, Wp), lambda k, v: (k, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, Dp, C, W), lambda k, v: (k, v, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, Dp, C, Wp), lambda k, v: (k, v, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((K, H, Dp, C, W), src_feats_khwc.dtype),
+        out_shape=jax.ShapeDtypeStruct((K, H, Dp, C, Wp), src_feats_khwc.dtype),
         interpret=interpret,
     )(
         jnp.asarray([Dp // _PGROUP], jnp.int32),
@@ -188,8 +199,8 @@ def warp_planes(
         planes_padded,
         src_cmaj,
     )
-    # (K, V, D, C, W) -> (K, D, V(H), W, C)
-    return jnp.transpose(out[:, :, :D], (0, 2, 1, 4, 3))
+    # (K, V, D, C, Wp) -> (K, D, V(H), W, C)
+    return jnp.transpose(out[:, :, :D, :, :W], (0, 2, 1, 4, 3))
 
 
 # --------------------------------------------------------------------- #
@@ -297,13 +308,16 @@ def warp_planes_bwd(
     Returns (K, H, W, C)."""
     K, D, H, W, C = ct_kdhwc.shape
     Dp = -(-D // _PGROUP) * _PGROUP
+    Wp = -(-W // 128) * 128
+    Hp = -(-H // _CHUNK) * _CHUNK
     ct = jnp.transpose(ct_kdhwc, (0, 2, 1, 4, 3))  # (K, V, D, C, W)
-    if Dp != D:
-        ct = jnp.pad(ct, ((0, 0), (0, 0), (0, Dp - D), (0, 0), (0, 0)))
+    if Dp != D or Wp != W:
+        # zero cotangent on padded planes/columns scatters nothing — exact
+        ct = jnp.pad(ct, ((0, 0), (0, 0), (0, Dp - D), (0, 0), (0, Wp - W)))
     planes_padded = jnp.pad(planes_d.astype(jnp.float32), (0, Dp - D), constant_values=1.0)
 
     kernel = functools.partial(
-        _warp_bwd_kernel, height=H, width=W, channels=C, num_planes=Dp
+        _warp_bwd_kernel, height=Hp, width=Wp, channels=C, num_planes=Dp
     )
     # accumulate in f32 regardless of ct dtype for stable reductions
     out = pl.pallas_call(
@@ -314,12 +328,12 @@ def warp_planes_bwd(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, Dp, C, W), lambda k, v: (k, v, 0, 0, 0),
+            pl.BlockSpec((1, 1, Dp, C, Wp), lambda k, v: (k, v, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, C, W), lambda k, v: (k, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, Hp, C, Wp), lambda k, v: (k, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K, H, C, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((K, Hp, C, Wp), jnp.float32),
         interpret=interpret,
     )(
         jnp.asarray([Dp // _PGROUP], jnp.int32),
@@ -328,7 +342,7 @@ def warp_planes_bwd(
         planes_padded,
         ct,
     )
-    return jnp.moveaxis(out, 2, -1).astype(ct_kdhwc.dtype)  # (K, H, W, C)
+    return jnp.moveaxis(out[:, :H, :, :W], 2, -1).astype(ct_kdhwc.dtype)  # (K, H, W, C)
 
 
 @jax.custom_vjp

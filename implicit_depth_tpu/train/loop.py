@@ -54,9 +54,11 @@ def build_net(cfg: Config, kind: str, train_bn: bool = False):
     return DepthNet(**common)
 
 
-def build_dataset(cfg: Config, split: str, kind: str, limit_to_scan_id=None):
+def build_dataset(cfg: Config, split: str, kind: str, limit_to_scan_id=None,
+                  pass_frame_id: bool = False):
     cls, _ = get_dataset(cfg.dataset, None, None)
     kwargs = dict(
+        pass_frame_id=pass_frame_id,
         split=split,
         mv_tuple_file_suffix=cfg.mv_tuple_file_suffix,
         tuple_info_file_location=cfg.tuple_info_file_location,
@@ -181,8 +183,36 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
 
     rng = jax.random.PRNGKey(cfg.random_seed + 2)
 
+    # jitted validation step — an eager per-batch apply dispatches op-by-op
+    # on TPU and dominates val_interval wall time
+    net_eval = build_net(cfg, kind, train_bn=False)
+    if kind == "bd":
+
+        @jax.jit
+        def val_step(variables, cur, src):
+            out = net_eval.apply(variables, cur, src, method=BDNet.forward_val)
+            pred = jax.nn.sigmoid(cfg.bd_sigmoid_multiplier * out["pred_0"])
+            iou = bm.legacy_and_new_iou(cur["rendered_depth"], cur["depth"], pred)
+            return iou, pred
+    else:
+        from implicit_depth_tpu.ops import image as image_ops
+        from implicit_depth_tpu.train import losses as loss_lib
+
+        @jax.jit
+        def val_step(variables, cur, src):
+            out = net_eval.apply(variables, cur, src)
+            cur = dict(cur)
+            cur["normals"] = image_ops.normals_from_depth(
+                jnp.nan_to_num(jnp.where(cur["mask"], cur["depth"], jnp.nan), nan=0.0),
+                cur["invK_s0"],
+            )
+            out = dict(out)
+            out["normals_pred"] = image_ops.normals_from_depth(
+                out["depth_pred_0"], cur["invK_s0"])
+            l = loss_lib.regression_losses(cur, src, out, dataset=cfg.dataset)
+            return l, out["depth_pred_0"]
+
     def run_validation(state) -> dict:
-        net_eval = build_net(cfg, kind, train_bn=False)
         vmetrics = []
         for bi, batch in enumerate(iter(val_loader)):
             if bi >= cfg.val_batches:
@@ -193,28 +223,10 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            if kind == "bd":
-                out = net_eval.apply(variables, cur, src, method=BDNet.forward_val)
-                pred = jax.nn.sigmoid(cfg.bd_sigmoid_multiplier * out["pred_0"])
-                iou = bm.legacy_and_new_iou(cur["rendered_depth"], cur["depth"], pred)
-                vmetrics.append({k: float(v) for k, v in iou.items()})
-                if bi == 0:
-                    _log_bd_panels(logger, int(state.step), cur, pred)
-            else:
-                out = net_eval.apply(variables, cur, src)
-                from implicit_depth_tpu.ops import image as image_ops
-                from implicit_depth_tpu.train import losses as loss_lib
-
-                cur = dict(cur)
-                cur["normals"] = image_ops.normals_from_depth(
-                    jnp.nan_to_num(jnp.where(cur["mask"], cur["depth"], jnp.nan), nan=0.0),
-                    cur["invK_s0"],
-                )
-                out = dict(out)
-                out["normals_pred"] = image_ops.normals_from_depth(
-                    out["depth_pred_0"], cur["invK_s0"])
-                l = loss_lib.regression_losses(cur, src, out, dataset=cfg.dataset)
-                vmetrics.append({k: float(v) for k, v in l.items()})
+            metrics, pred = val_step(variables, cur, src)
+            vmetrics.append({k: float(v) for k, v in metrics.items()})
+            if kind == "bd" and bi == 0:
+                _log_bd_panels(logger, int(state.step), cur, pred)
         if not vmetrics:
             return {}
         return {f"val/{k}": float(np.nanmean([m[k] for m in vmetrics]))

@@ -29,6 +29,7 @@ Faithful quirks preserved (required for pretrained-weight parity):
 
 from __future__ import annotations
 
+import logging
 from typing import NamedTuple
 
 import jax
@@ -38,6 +39,22 @@ from implicit_depth_tpu.core import geometry
 from implicit_depth_tpu.core.sampling import sample_bilinear_idx
 
 Array = jnp.ndarray
+
+_logger = logging.getLogger(__name__)
+_warned_fallback: set = set()
+
+
+def _warn_pallas_fallback(h: int, w: int, c: int) -> None:
+    """Warns once per shape when the fused warp kernel is requested but the
+    ~18x-slower XLA gather path runs instead (VERDICT r1: the silent cliff)."""
+    key = (h, w, c)
+    if key not in _warned_fallback:
+        _warned_fallback.add(key)
+        _logger.warning(
+            "pallas warp kernel unavailable for matching shape h=%d w=%d c=%d "
+            "(requires 16 matching channels); falling back to the XLA gather "
+            "path (~18x slower on TPU)", h, w, c,
+        )
 
 
 class WarpedViews(NamedTuple):
@@ -89,7 +106,12 @@ def build_warped_views(
     """
     b, k, h, w, c = src_feats_bkhwc.shape
     d = depth_planes_d.shape[0]
-    pallas_ok = use_pallas and w == 128 and h % 8 == 0 and c == 16
+    # the fused kernel lane-tiles any (h, w) by internal zero-padding; the
+    # only remaining constraint is the 16-channel matching dim (8 rows x
+    # 16 ch = 128 sublanes per MXU operand)
+    pallas_ok = use_pallas and c == 16
+    if use_pallas and not pallas_ok:
+        _warn_pallas_fallback(h, w, c)
 
     # ---- coordinates (fp32 always; pose math parity w/ bd_model.py:196-204)
     M_bkd33 = geometry.plane_homographies(

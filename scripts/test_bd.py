@@ -26,8 +26,11 @@ def main():
 
     _, scans = get_dataset(cfg.dataset, cfg.dataset_scan_split_file,
                            cfg.single_debug_scan_id)
+    # pass_frame_id=True: prediction caches are keyed by the dataset's real
+    # frame_id_string (reference test_bd.py:139)
     datasets = {
-        scan: build_dataset(cfg, cfg.split, "bd", limit_to_scan_id=scan)
+        scan: build_dataset(cfg, cfg.split, "bd", limit_to_scan_id=scan,
+                            pass_frame_id=True)
         for scan in (scans or ["scene0"])
     }
 

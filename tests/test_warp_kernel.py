@@ -133,3 +133,70 @@ def test_warp_planes_diff_grad_flows():
         wk.warp_planes, wk.warp_planes_bwd = orig_fwd, orig_bwd
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_warp_kernel_unaligned_shapes_fwd():
+    """Lane-tiling generalisation: non-multiple-of-128 W and non-multiple-
+    of-8 H are zero-padded internally and must match the XLA path exactly
+    (640x480-class configs have matching res 160x120)."""
+    for (H, W) in [(12, 72), (10, 130), (120, 160)]:
+        src, A, b, planes = _setup(K=2, H=H, W=W, C=8, D=3)
+        ref = _xla_reference(src, A, b, planes)
+        got = warp_planes(
+            jnp.asarray(src), jnp.asarray(A), jnp.asarray(b), jnp.asarray(planes),
+            interpret=True,
+        )
+        assert got.shape == (2, 3, H, W, 8)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=1e-4)
+
+
+def test_warp_kernel_unaligned_shapes_bwd():
+    import jax
+    from implicit_depth_tpu.ops.warp_kernel import warp_planes_bwd
+
+    H, W = 12, 72
+    src, A, b, planes = _setup(K=2, H=H, W=W, C=8, D=3)
+    ct = np.random.RandomState(3).randn(2, 3, H, W, 8).astype(np.float32)
+
+    def xla_warp(s):
+        K, Hh, Ww, C = s.shape
+        grid = geometry.pixel_grid(Hh, Ww)
+        e3 = jnp.zeros((3,)).at[2].set(1.0)
+        M = jnp.asarray(planes)[None, :, None, None] * jnp.asarray(A)[:, None] \
+            + (jnp.asarray(b)[..., None] * e3)[:, None]
+        xyz = jnp.einsum("kdij,hwj->kdhwi", M, grid)
+        z = jnp.maximum(xyz[..., 2], 1e-5)
+        x = jnp.clip(xyz[..., 0] / z - 0.5, -2.0 * Ww, 2.0 * Ww)
+        y = jnp.clip(xyz[..., 1] / z - 0.5, -2.0 * Hh, 2.0 * Hh)
+        return jax.vmap(sample_bilinear_idx)(s, x, y)
+
+    _, vjp = jax.vjp(xla_warp, jnp.asarray(src))
+    ref_grad, = vjp(jnp.asarray(ct))
+    got = warp_planes_bwd(jnp.asarray(ct), jnp.asarray(A), jnp.asarray(b),
+                          jnp.asarray(planes), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_grad),
+                               atol=3e-4, rtol=1e-3)
+
+
+def test_build_warped_views_fallback_warning(caplog):
+    """use_pallas with a non-16 matching dim logs the fallback once; c=16
+    takes the kernel path (gate: volumes/cost_volume.py)."""
+    import logging
+    from implicit_depth_tpu.volumes import cost_volume as cv
+
+    b, k, h, w = 1, 2, 8, 32
+    rng = np.random.RandomState(0)
+    Kmat = np.eye(4, dtype=np.float32)[None, None].repeat(k, 1)
+    T = np.eye(4, dtype=np.float32)[None, None].repeat(k, 1)
+    invK = np.eye(4, dtype=np.float32)[None]
+    planes = jnp.asarray([1.0, 2.0], jnp.float32)
+
+    cv._warned_fallback.clear()
+    with caplog.at_level(logging.WARNING, logger="implicit_depth_tpu.volumes.cost_volume"):
+        cv.build_warped_views(
+            jnp.asarray(rng.randn(b, h, w, 8), jnp.float32),
+            jnp.asarray(rng.randn(b, k, h, w, 8), jnp.float32),
+            jnp.asarray(Kmat), jnp.asarray(T), jnp.asarray(invK), jnp.asarray(T),
+            planes, use_pallas=True,
+        )
+    assert any("falling back" in r.message for r in caplog.records)
