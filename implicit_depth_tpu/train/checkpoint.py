@@ -273,6 +273,97 @@ def convert_matching_encoder(sd: dict, prefix: str = "matching_model.net") -> di
     }
 
 
+def _bn(sd: dict, p: str) -> dict:
+    return {
+        "scale": _t(sd[f"{p}.weight"]), "bias": _t(sd[f"{p}.bias"]),
+        "mean": _t(sd[f"{p}.running_mean"]), "var": _t(sd[f"{p}.running_var"]),
+    }
+
+
+# (kind, repeats) per stage of tf_efficientnetv2_s; kind: cn=ConvBnAct,
+# er=EdgeResidual (fused-MBConv), ir=InvertedResidual (MBConv+SE)
+# (timm model def; mirrored by models.image_encoders.EfficientNetV2S)
+_EFFNETV2S_STAGES = (("cn", 2), ("er", 4), ("er", 4), ("ir", 6), ("ir", 9), ("ir", 15))
+
+
+def convert_efficientnetv2s(sd: dict, prefix: str = "encoder") -> dict:
+    """timm `tf_efficientnetv2_s(_in21ft1k)` features_only state_dict ->
+    models.image_encoders.EfficientNetV2S params (reference image encoder,
+    experiment_modules/bd_model.py:46-51). Returns a tree with fused
+    {scale,bias,mean,var} BN dicts — run through split_bn."""
+    out = {
+        "conv_stem": {"kernel": _conv_w(sd[f"{prefix}.conv_stem.weight"])},
+        "bn1": _bn(sd, f"{prefix}.bn1"),
+    }
+    for s, (kind, reps) in enumerate(_EFFNETV2S_STAGES):
+        for i in range(reps):
+            p = f"{prefix}.blocks.{s}.{i}"
+            if kind == "cn":
+                blk = {
+                    "conv": {"kernel": _conv_w(sd[f"{p}.conv.weight"])},
+                    "bn1": _bn(sd, f"{p}.bn1"),
+                }
+            elif kind == "er":
+                blk = {
+                    "conv_exp": {"kernel": _conv_w(sd[f"{p}.conv_exp.weight"])},
+                    "bn1": _bn(sd, f"{p}.bn1"),
+                    "conv_pwl": {"kernel": _conv_w(sd[f"{p}.conv_pwl.weight"])},
+                    "bn2": _bn(sd, f"{p}.bn2"),
+                }
+            else:
+                blk = {
+                    "conv_pw": {"kernel": _conv_w(sd[f"{p}.conv_pw.weight"])},
+                    "bn1": _bn(sd, f"{p}.bn1"),
+                    "conv_dw": {"kernel": _conv_w(sd[f"{p}.conv_dw.weight"])},
+                    "bn2": _bn(sd, f"{p}.bn2"),
+                    "se": {
+                        "conv_reduce": {
+                            "kernel": _conv_w(sd[f"{p}.se.conv_reduce.weight"]),
+                            "bias": _t(sd[f"{p}.se.conv_reduce.bias"]),
+                        },
+                        "conv_expand": {
+                            "kernel": _conv_w(sd[f"{p}.se.conv_expand.weight"]),
+                            "bias": _t(sd[f"{p}.se.conv_expand.bias"]),
+                        },
+                    },
+                    "conv_pwl": {"kernel": _conv_w(sd[f"{p}.conv_pwl.weight"])},
+                    "bn3": _bn(sd, f"{p}.bn3"),
+                }
+            out[f"s{s}_b{i}"] = blk
+    return out
+
+
+def convert_resnet18d(sd: dict, prefix: str = "encoder") -> dict:
+    """timm `resnet18d` features_only state_dict ->
+    models.image_encoders.ResNet18D params (bd_model.py:65-68). timm's
+    deep stem is conv1.{0,3,6} convs with conv1.{1,4} BNs and a top-level
+    bn1 after the last stem conv; '-d' downsample = AvgPool + 1x1 conv
+    at downsample.{1,2}."""
+    out = {
+        "stem_conv0": {"kernel": _conv_w(sd[f"{prefix}.conv1.0.weight"])},
+        "stem_bn0": _bn(sd, f"{prefix}.conv1.1"),
+        "stem_conv1": {"kernel": _conv_w(sd[f"{prefix}.conv1.3.weight"])},
+        "stem_bn1": _bn(sd, f"{prefix}.conv1.4"),
+        "stem_conv2": {"kernel": _conv_w(sd[f"{prefix}.conv1.6.weight"])},
+        "stem_bn2": _bn(sd, f"{prefix}.bn1"),
+    }
+    for li in range(1, 5):
+        for bi in range(2):
+            p = f"{prefix}.layer{li}.{bi}"
+            blk = {
+                "conv1": {"kernel": _conv_w(sd[f"{p}.conv1.weight"])},
+                "bn1": _bn(sd, f"{p}.bn1"),
+                "conv2": {"kernel": _conv_w(sd[f"{p}.conv2.weight"])},
+                "bn2": _bn(sd, f"{p}.bn2"),
+            }
+            if f"{p}.downsample.1.weight" in sd:
+                blk["downsample_conv"] = {
+                    "kernel": _conv_w(sd[f"{p}.downsample.1.weight"])}
+                blk["downsample_bn"] = _bn(sd, f"{p}.downsample.2")
+            out[f"layer{li}_{bi}"] = blk
+    return out
+
+
 def split_bn(converted: dict) -> tuple[dict, dict]:
     """Splits {scale,bias,mean,var} BN dicts into flax params
     ({scale,bias} under BatchNorm_0) and batch_stats ({mean,var})."""
@@ -292,12 +383,27 @@ def split_bn(converted: dict) -> tuple[dict, dict]:
     return params, stats
 
 
+def convert_image_encoder(state_dict: dict, prefix: str = "encoder") -> dict:
+    """Dispatches on the timm layout present in the state_dict:
+    conv_stem.* -> tf_efficientnetv2_s, conv1.0.* -> resnet18d."""
+    if f"{prefix}.conv_stem.weight" in state_dict:
+        return convert_efficientnetv2s(state_dict, prefix)
+    if f"{prefix}.conv1.0.weight" in state_dict:
+        return convert_resnet18d(state_dict, prefix)
+    raise ValueError(
+        f"unrecognised image-encoder layout under '{prefix}.' "
+        "(supported: tf_efficientnetv2_s, resnet18d)"
+    )
+
+
 def convert_reference_bd_checkpoint(state_dict: dict) -> tuple[dict, dict]:
-    """Converts a reference BDModel state_dict (non-backbone subnets) to
-    (params, batch_stats) subtrees keyed by our module names. The timm
-    image-encoder mapping is added separately (encoder zoo table)."""
+    """Converts a reference BDModel state_dict to (params, batch_stats)
+    subtrees keyed by our module names — a COMPLETE tree for
+    BDNet.apply, including the timm image encoder."""
     params: dict = {}
     stats: dict = {}
+    p, s = split_bn(convert_image_encoder(state_dict))
+    params["encoder"], stats["encoder"] = p, s
     p, s = split_bn(convert_matching_encoder(state_dict))
     params["matching"], stats["matching"] = p, s
     params["volume_mlp"] = convert_volume_mlp(state_dict)

@@ -1,0 +1,53 @@
+"""Converts a released reference `.ckpt` (PyTorch Lightning) into this
+framework's weights-only msgpack checkpoint.
+
+Usage:
+    python scripts/convert_checkpoint.py \
+        --input weights/implicit_depth.ckpt \
+        --output weights/implicit_depth.msgpack
+
+The Lightning checkpoint stores the BDModel state_dict under "state_dict"
+with keys like `encoder.conv_stem.weight` (timm tf_efficientnetv2_s or
+resnet18d), `matching_model.net.*`, `cost_volume.mlp.net.*`,
+`cost_volume_net.convs.*`, `depth_decoder.convs.*`, `binary_mlp.mlps.*`
+(reference: experiment_modules/bd_model.py:39-141, weights/
+strip_checkpoint.py). The converted file loads with
+`train.checkpoint.load_params` into a BDNet variables template.
+
+Offline workflow (zero-egress environments): download the .ckpt on a
+networked machine, copy it here, run this script once; every tool in this
+repo then consumes the msgpack.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="reference .ckpt path")
+    ap.add_argument("--output", required=True, help="output .msgpack path")
+    args = ap.parse_args()
+
+    import torch
+
+    from implicit_depth_tpu.train import checkpoint as ckpt_lib
+
+    payload = torch.load(args.input, map_location="cpu", weights_only=False)
+    sd = payload.get("state_dict", payload)
+    hparams = payload.get("hyper_parameters", {})
+
+    params, stats = ckpt_lib.convert_reference_bd_checkpoint(sd)
+    variables = {"params": params, "batch_stats": stats}
+    n = sum(x.size for x in __import__("jax").tree.leaves(variables))
+    ckpt_lib.save_params(args.output, variables,
+                         config={"hyper_parameters": repr(hparams)})
+    print(f"wrote {args.output}: {n / 1e6:.1f}M params "
+          f"(source {len(sd)} tensors)")
+
+
+if __name__ == "__main__":
+    main()

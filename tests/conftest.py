@@ -11,6 +11,11 @@ torch CPU.
 import os
 import sys
 
+# disable torch.jit scripting so the reference's jit.ScriptModules
+# (geometry_utils, losses) import under the dependency stubs used by
+# tests/test_reference_parity.py; numerics are unchanged
+os.environ.setdefault("PYTORCH_JIT", "0")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
