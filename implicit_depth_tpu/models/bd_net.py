@@ -79,27 +79,30 @@ class BDNet(nn.Module):
     train_bn: bool = False  # update batch stats (training)
 
     def setup(self):
+        # computation dtype for all conv/dense stacks (params stay f32);
+        # None preserves flax promotion (f32) for CPU parity tests
+        dt = None if self.compute_dtype == jnp.float32 else self.compute_dtype
         ura = not self.train_bn
         if "efficientnet" in self.image_encoder_name:
-            self.encoder = EfficientNetV2S(use_running_average=ura)
+            self.encoder = EfficientNetV2S(use_running_average=ura, dtype=dt)
         elif "tiny" in self.image_encoder_name:
-            self.encoder = TinyEncoder()
+            self.encoder = TinyEncoder(dtype=dt)
         elif "resnext101" in self.image_encoder_name:
-            self.encoder = ResNeXt101_64x4d(use_running_average=ura)
+            self.encoder = ResNeXt101_64x4d(use_running_average=ura, dtype=dt)
         elif "seresnextaa101d" in self.image_encoder_name:
-            self.encoder = SEResNeXtAA101d_32x8d(use_running_average=ura)
+            self.encoder = SEResNeXtAA101d_32x8d(use_running_average=ura, dtype=dt)
         elif "resnet" in self.image_encoder_name:
-            self.encoder = ResNet18D(use_running_average=ura)
+            self.encoder = ResNet18D(use_running_average=ura, dtype=dt)
         else:
             raise ValueError(f"Unknown image encoder {self.image_encoder_name}")
 
         if self.matching_encoder_type == "fpn":
             self.matching = FPNMatchingEncoder(
-                num_ch_out=self.matching_feature_dims, use_running_average=ura
+                num_ch_out=self.matching_feature_dims, use_running_average=ura, dtype=dt
             )
         else:
             self.matching = ResnetMatchingEncoder(
-                num_ch_out=self.matching_feature_dims, use_running_average=ura
+                num_ch_out=self.matching_feature_dims, use_running_average=ura, dtype=dt
             )
         if self.feature_volume_type == "mlp_feature_volume":
             self.volume_mlp = MetadataVolumeMLP(
@@ -107,17 +110,18 @@ class BDNet(nn.Module):
                 matching_dim=self.matching_feature_dims,
                 compute_dtype=self.compute_dtype,
             )
-        self.cv_encoder = CVEncoder()
+        self.cv_encoder = CVEncoder(dtype=dt)
         if self.depth_decoder_name == "unet_pp":
-            self.decoder = DecoderPP(head_channels=0)
+            self.decoder = DecoderPP(head_channels=0, dtype=dt)
         elif self.depth_decoder_name == "skip":
-            self.decoder = SkipDecoder()
+            self.decoder = SkipDecoder(dtype=dt)
         else:
             raise ValueError(f"Unknown decoder {self.depth_decoder_name}")
-        self.binary_mlp = BinaryMLPNetwork()
+        self.binary_mlp = BinaryMLPNetwork(dtype=dt)
 
     # ---------------- shared trunk ----------------
-    def trunk(self, cur_data: dict, src_data: dict, flip, stop_at: str = "") -> dict:
+    def trunk(self, cur_data: dict, src_data: dict, flip, stop_at: str = "",
+              fused_volume: bool = False) -> dict:
         """Encoders + cost volume + U-Net. Returns per-scale decoder
         features (unflipped), lowest-cost depth, and the planes."""
         cur_image = cur_data["image"]
@@ -162,6 +166,23 @@ class BDNet(nn.Module):
             h, w = m_cur.shape[1], m_cur.shape[2]
             volume = cv.zero_cost_volume(b, self.num_depth_bins, h, w, m_cur.dtype)
             lowest = cv.lowest_cost_depth(volume, planes)
+        elif (
+            fused_volume
+            and self.use_pallas_warp
+            and self.feature_volume_type == "mlp_feature_volume"
+            and m_cur.shape[-1] == 16
+            and self.volume_mlp.hidden == 128
+        ):
+            # eval path on TPU: single fused kernel (warp + metadata + MLP),
+            # no (k, d, h, w, ...) intermediates. Forward-only (no VJP).
+            volume = self.volume_mlp.fused(
+                m_cur, m_src,
+                src_data[f"K_s{self.matching_scale}"], src_T_cur,
+                cur_data[f"invK_s{self.matching_scale}"], cur_T_src, planes,
+            )
+            lowest = cv.lowest_cost_depth(volume, planes)
+            if stop_at == "volume":
+                return {"features": [volume] + list(enc_feats)}
         else:
             vol_fn = type(self)._volume
             if self.remat_volume:
@@ -308,7 +329,7 @@ class BDNet(nn.Module):
     def forward_val(self, cur_data: dict, src_data: dict) -> dict:
         """Dense queries for every rendered-depth channel
         (bd_model.py:293-304). rendered_depth: (b, h0, w0, P)."""
-        t = self.trunk(cur_data, src_data, False)
+        t = self.trunk(cur_data, src_data, False, fused_volume=True)
         rendered = cur_data["rendered_depth"]
         p = rendered.shape[-1]
         logits = []
@@ -330,7 +351,7 @@ class BDNet(nn.Module):
         num_iters: int = 12,
     ) -> dict:
         """Depth from the binary oracle by bisection (bd_model.py:274-292)."""
-        t = self.trunk(cur_data, src_data, False)
+        t = self.trunk(cur_data, src_data, False, fused_volume=True)
         shape = cur_data["rendered_depth"][..., :1].shape
 
         def threshold_for(depths):

@@ -11,7 +11,7 @@ Parity targets in the reference:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -24,12 +24,16 @@ def leaky_relu02(x: Array) -> Array:
     return nn.leaky_relu(x, negative_slope=0.2)
 
 
-def conv3x3(features: int, stride: int = 1, use_bias: bool = False, name: str | None = None) -> nn.Conv:
-    return nn.Conv(features, (3, 3), strides=(stride, stride), padding=1, use_bias=use_bias, name=name)
+def conv3x3(features: int, stride: int = 1, use_bias: bool = False, name: str | None = None,
+            dtype: Any = None) -> nn.Conv:
+    return nn.Conv(features, (3, 3), strides=(stride, stride), padding=1, use_bias=use_bias,
+                   name=name, dtype=dtype)
 
 
-def conv1x1(features: int, stride: int = 1, use_bias: bool = False, name: str | None = None) -> nn.Conv:
-    return nn.Conv(features, (1, 1), strides=(stride, stride), padding=0, use_bias=use_bias, name=name)
+def conv1x1(features: int, stride: int = 1, use_bias: bool = False, name: str | None = None,
+            dtype: Any = None) -> nn.Conv:
+    return nn.Conv(features, (1, 1), strides=(stride, stride), padding=0, use_bias=use_bias,
+                   name=name, dtype=dtype)
 
 
 class BasicBlock(nn.Module):
@@ -42,18 +46,20 @@ class BasicBlock(nn.Module):
 
     features: int
     stride: int = 1
+    dtype: Any = None  # computation dtype (bf16 on TPU); params stay f32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         identity = x
-        out = conv3x3(self.features, self.stride, use_bias=True, name="conv1")(x)
+        out = conv3x3(self.features, self.stride, use_bias=True, name="conv1", dtype=self.dtype)(x)
         out = leaky_relu02(out)
-        out = conv3x3(self.features, 1, use_bias=True, name="conv2")(out)
+        out = conv3x3(self.features, 1, use_bias=True, name="conv2", dtype=self.dtype)(out)
 
         in_ch = x.shape[-1]
         if in_ch != self.features or self.stride != 1:
             ds = conv3x3 if self.stride != 1 else conv1x1
-            identity = ds(self.features, self.stride, use_bias=True, name="downsample")(x)
+            identity = ds(self.features, self.stride, use_bias=True, name="downsample",
+                          dtype=self.dtype)(x)
 
         return leaky_relu02(out + identity)
 
@@ -63,11 +69,12 @@ class DoubleBasicBlock(nn.Module):
 
     features: int
     num_repeats: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         for i in range(self.num_repeats):
-            x = BasicBlock(self.features, name=f"block{i}")(x)
+            x = BasicBlock(self.features, name=f"block{i}", dtype=self.dtype)(x)
         return x
 
 
@@ -77,12 +84,13 @@ class MLP(nn.Module):
 
     channel_list: Sequence[int]  # output features per layer
     disable_final_activation: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         n = len(self.channel_list)
         for i, ch in enumerate(self.channel_list):
-            x = nn.Dense(ch, name=f"fc{i}")(x)
+            x = nn.Dense(ch, name=f"fc{i}", dtype=self.dtype)(x)
             if i < n - 1 or not self.disable_final_activation:
                 x = nn.leaky_relu(x, negative_slope=0.01)
         return x
@@ -90,10 +98,12 @@ class MLP(nn.Module):
 
 def instance_norm(x_bhwc: Array, eps: float = 1e-5) -> Array:
     """torch nn.InstanceNorm2d defaults: per-(sample, channel) over H, W;
-    no affine params, biased variance."""
-    mean = jnp.mean(x_bhwc, axis=(1, 2), keepdims=True)
-    var = jnp.var(x_bhwc, axis=(1, 2), keepdims=True)
-    return (x_bhwc - mean) * jax.lax.rsqrt(var + eps)
+    no affine params, biased variance. Statistics always in f32 — a bf16
+    spatial variance loses too much precision."""
+    x32 = x_bhwc.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x_bhwc.dtype)
 
 
 def upsample2x_bilinear(x_bhwc: Array) -> Array:

@@ -13,7 +13,7 @@ Parity targets:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -38,16 +38,17 @@ class CVEncoder(nn.Module):
     """
 
     num_ch_outs: Sequence[int] = (64, 128, 256, 384)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, cost_bhwd: Array, img_feats: Sequence[Array]) -> list[Array]:
         x = cost_bhwd
         outputs = []
         for i, ch in enumerate(self.num_ch_outs):
-            x = BasicBlock(ch, stride=1 if i == 0 else 2, name=f"ds_conv_{i}")(x)
-            x = jnp.concatenate([x, img_feats[i]], axis=-1)
-            x = BasicBlock(ch, name=f"conv_{i}_0")(x)
-            x = BasicBlock(ch, name=f"conv_{i}_1")(x)
+            x = BasicBlock(ch, stride=1 if i == 0 else 2, name=f"ds_conv_{i}", dtype=self.dtype)(x)
+            x = jnp.concatenate([x, img_feats[i].astype(x.dtype)], axis=-1)
+            x = BasicBlock(ch, name=f"conv_{i}_0", dtype=self.dtype)(x)
+            x = BasicBlock(ch, name=f"conv_{i}_1", dtype=self.dtype)(x)
             outputs.append(x)
         return outputs
 
@@ -62,9 +63,11 @@ class DecoderPP(nn.Module):
     """
 
     head_channels: int = 0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, enc_feats: Sequence[Array]) -> dict:
+        dt = self.dtype
         prev = list(enc_feats)  # index i = scale i (stride 2^(i+1))
         outputs: dict = {}
         for j in range(1, 5):
@@ -72,20 +75,20 @@ class DecoderPP(nn.Module):
             max_i = 4 - j
             for i in range(max_i, -1, -1):
                 ch = NUM_CH_DEC[i]
-                parts = [BasicBlock(ch, name=f"right_conv_{i}{j - 1}")(prev[i])]
+                parts = [BasicBlock(ch, name=f"right_conv_{i}{j - 1}", dtype=dt)(prev[i])]
                 parts.append(
-                    upsample2x_bilinear(BasicBlock(ch, name=f"diag_conv_{i + 1}{j - 1}")(prev[i + 1]))
+                    upsample2x_bilinear(BasicBlock(ch, name=f"diag_conv_{i + 1}{j - 1}", dtype=dt)(prev[i + 1]))
                 )
                 if i + j != 4:
                     parts.append(
-                        upsample2x_bilinear(BasicBlock(ch, name=f"up_conv_{i + 1}{j}")(col[-1]))
+                        upsample2x_bilinear(BasicBlock(ch, name=f"up_conv_{i + 1}{j}", dtype=dt)(col[-1]))
                     )
-                out = DoubleBasicBlock(ch, name=f"in_conv_{i}{j}")(jnp.concatenate(parts, axis=-1))
+                out = DoubleBasicBlock(ch, name=f"in_conv_{i}{j}", dtype=dt)(jnp.concatenate(parts, axis=-1))
                 col.append(out)
                 if i + j == 4:  # final column for this scale
-                    head = out if i == 0 else BasicBlock(ch, name=f"output_{i}")(out)
+                    head = out if i == 0 else BasicBlock(ch, name=f"output_{i}", dtype=dt)(out)
                     if self.head_channels:
-                        head = nn.Conv(self.head_channels, (1, 1), name=f"output_head_{i}")(head)
+                        head = nn.Conv(self.head_channels, (1, 1), name=f"output_head_{i}", dtype=dt)(head)
                     outputs[i] = head
             prev = col[::-1] + prev[max_i + 1:]
         return outputs
@@ -103,11 +106,12 @@ class ConvBlockELU(nn.Module):
     """Two 3x3 convs with ELU (modules/networks_fast.py:10-28)."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = nn.elu(nn.Conv(self.features, (3, 3), padding=1, name="conv1")(x))
-        return nn.elu(nn.Conv(self.features, (3, 3), padding=1, name="conv2")(x))
+        x = nn.elu(nn.Conv(self.features, (3, 3), padding=1, name="conv1", dtype=self.dtype)(x))
+        return nn.elu(nn.Conv(self.features, (3, 3), padding=1, name="conv2", dtype=self.dtype)(x))
 
 
 class SkipDecoder(nn.Module):
@@ -116,23 +120,25 @@ class SkipDecoder(nn.Module):
 
     regression_heads: bool = False
     num_ch_dec: Sequence[int] = NUM_CH_DEC
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, enc_feats: Sequence[Array]) -> dict:
+        dt = self.dtype
         out_ch = (256, 128, 64, 64)
         x = enc_feats[-1]
         outputs: dict = {}
         for bi in range(4):
-            x = ConvBlockELU(out_ch[bi], name=f"block{bi + 1}_pre")(x)
+            x = ConvBlockELU(out_ch[bi], name=f"block{bi + 1}_pre", dtype=dt)(x)
             x = upsample2x_nearest(x)
-            x = jnp.concatenate([x, enc_feats[-(bi + 2)]], axis=-1)
-            x = ConvBlockELU(out_ch[bi], name=f"block{bi + 1}_post")(x)
+            x = jnp.concatenate([x, enc_feats[-(bi + 2)].astype(x.dtype)], axis=-1)
+            x = ConvBlockELU(out_ch[bi], name=f"block{bi + 1}_post", dtype=dt)(x)
             scale = 3 - bi
             outputs[scale] = x
             if self.regression_heads:
-                h = nn.elu(nn.Conv(128, (1, 1), name=f"out{bi + 1}_0")(x))
-                h = nn.elu(nn.Conv(128, (1, 1), name=f"out{bi + 1}_1")(h))
-                outputs[f"log_depth_{scale}"] = nn.Conv(1, (1, 1), name=f"out{bi + 1}_2")(h)
+                h = nn.elu(nn.Conv(128, (1, 1), name=f"out{bi + 1}_0", dtype=dt)(x))
+                h = nn.elu(nn.Conv(128, (1, 1), name=f"out{bi + 1}_1", dtype=dt)(h))
+                outputs[f"log_depth_{scale}"] = nn.Conv(1, (1, 1), name=f"out{bi + 1}_2", dtype=dt)(h)
         return outputs
 
 
@@ -143,6 +149,7 @@ class BinaryMLPNetwork(nn.Module):
     channels are the query depth (and prior). 3 Linear layers, ELU."""
 
     mlp_size: int = 128
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, inputs: Sequence[Array], max_scale_only: bool = False) -> dict:
@@ -150,7 +157,7 @@ class BinaryMLPNetwork(nn.Module):
         scales = [0] if max_scale_only else range(len(inputs))
         for s in scales:
             x = inputs[s]
-            x = nn.elu(nn.Dense(self.mlp_size, name=f"s{s}_fc0")(x))
-            x = nn.elu(nn.Dense(self.mlp_size, name=f"s{s}_fc1")(x))
-            outputs[f"pred_{s}"] = nn.Dense(1, name=f"s{s}_fc2")(x)
+            x = nn.elu(nn.Dense(self.mlp_size, name=f"s{s}_fc0", dtype=self.dtype)(x))
+            x = nn.elu(nn.Dense(self.mlp_size, name=f"s{s}_fc1", dtype=self.dtype)(x))
+            outputs[f"pred_{s}"] = nn.Dense(1, name=f"s{s}_fc2", dtype=self.dtype)(x)
         return outputs

@@ -43,26 +43,29 @@ class DepthNet(nn.Module):
     train_bn: bool = False
 
     def setup(self):
+        # computation dtype for all conv/dense stacks (params stay f32);
+        # None preserves flax promotion (f32) for CPU parity tests
+        dt = None if self.compute_dtype == jnp.float32 else self.compute_dtype
         ura = not self.train_bn
         if "efficientnet" in self.image_encoder_name:
-            self.encoder = EfficientNetV2S(use_running_average=ura)
+            self.encoder = EfficientNetV2S(use_running_average=ura, dtype=dt)
         elif "tiny" in self.image_encoder_name:
-            self.encoder = TinyEncoder()
+            self.encoder = TinyEncoder(dtype=dt)
         elif "resnext101" in self.image_encoder_name:
-            self.encoder = ResNeXt101_64x4d(use_running_average=ura)
+            self.encoder = ResNeXt101_64x4d(use_running_average=ura, dtype=dt)
         elif "seresnextaa101d" in self.image_encoder_name:
-            self.encoder = SEResNeXtAA101d_32x8d(use_running_average=ura)
+            self.encoder = SEResNeXtAA101d_32x8d(use_running_average=ura, dtype=dt)
         elif "resnet" in self.image_encoder_name:
-            self.encoder = ResNet18D(use_running_average=ura)
+            self.encoder = ResNet18D(use_running_average=ura, dtype=dt)
         else:
             raise ValueError(self.image_encoder_name)
         if self.matching_encoder_type == "fpn":
             self.matching = FPNMatchingEncoder(
-                num_ch_out=self.matching_feature_dims, use_running_average=ura
+                num_ch_out=self.matching_feature_dims, use_running_average=ura, dtype=dt
             )
         else:
             self.matching = ResnetMatchingEncoder(
-                num_ch_out=self.matching_feature_dims, use_running_average=ura
+                num_ch_out=self.matching_feature_dims, use_running_average=ura, dtype=dt
             )
         if self.feature_volume_type == "mlp_feature_volume":
             self.volume_mlp = MetadataVolumeMLP(
@@ -70,11 +73,11 @@ class DepthNet(nn.Module):
                 matching_dim=self.matching_feature_dims,
                 compute_dtype=self.compute_dtype,
             )
-        self.cv_encoder = CVEncoder()
+        self.cv_encoder = CVEncoder(dtype=dt)
         if self.depth_decoder_name == "unet_pp":
-            self.decoder = DecoderPP(head_channels=1)
+            self.decoder = DecoderPP(head_channels=1, dtype=dt)
         elif self.depth_decoder_name == "skip":
-            self.decoder = SkipDecoder(regression_heads=True)
+            self.decoder = SkipDecoder(regression_heads=True, dtype=dt)
         else:
             raise ValueError(self.depth_decoder_name)
 

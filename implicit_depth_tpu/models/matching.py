@@ -15,6 +15,8 @@ FeaturePyramidNetwork, output taken at the 1/4-resolution level.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -29,6 +31,7 @@ class BatchNorm(nn.Module):
     """torch-default BatchNorm2d (eps 1e-5, momentum 0.1)."""
 
     use_running_average: bool = True
+    dtype: Any = None  # flax computes half-precision stats in f32 internally
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -36,6 +39,7 @@ class BatchNorm(nn.Module):
             use_running_average=self.use_running_average,
             momentum=0.9,
             epsilon=1e-5,
+            dtype=self.dtype,
         )(x)
 
 
@@ -73,26 +77,29 @@ class ResnetBlockBN(nn.Module):
     stride: int = 1
     use_running_average: bool = True
     avg_down: bool = False  # "-d" variant: avg-pool + 1x1 conv shortcut
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        dt = self.dtype
         identity = x
         out = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding=1,
-                      use_bias=False, name="conv1")(x)
-        out = BatchNorm(self.use_running_average, name="bn1")(out)
+                      use_bias=False, name="conv1", dtype=dt)(x)
+        out = BatchNorm(self.use_running_average, dtype=dt, name="bn1")(out)
         out = nn.relu(out)
-        out = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, name="conv2")(out)
-        out = BatchNorm(self.use_running_average, name="bn2")(out)
+        out = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, name="conv2",
+                      dtype=dt)(out)
+        out = BatchNorm(self.use_running_average, dtype=dt, name="bn2")(out)
         if x.shape[-1] != self.features or self.stride != 1:
             identity = x
             if self.avg_down and self.stride != 1:
                 identity = nn.avg_pool(identity, (2, 2), strides=(2, 2))
                 identity = nn.Conv(self.features, (1, 1), use_bias=False,
-                                   name="downsample_conv")(identity)
+                                   name="downsample_conv", dtype=dt)(identity)
             else:
                 identity = nn.Conv(self.features, (1, 1), (self.stride, self.stride),
-                                   use_bias=False, name="downsample_conv")(identity)
-            identity = BatchNorm(self.use_running_average, name="downsample_bn")(identity)
+                                   use_bias=False, name="downsample_conv", dtype=dt)(identity)
+            identity = BatchNorm(self.use_running_average, dtype=dt, name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -101,21 +108,24 @@ class ResnetMatchingEncoder(nn.Module):
 
     num_ch_out: int = 16
     use_running_average: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, image_bhwc: Array) -> Array:
-        ura = self.use_running_average
-        x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False, name="conv1")(image_bhwc)
-        x = BatchNorm(ura, name="bn1")(x)
+        ura, dt = self.use_running_average, self.dtype
+        x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False, name="conv1",
+                    dtype=dt)(image_bhwc)
+        x = BatchNorm(ura, dtype=dt, name="bn1")(x)
         x = nn.relu(x)
         # antialiased maxpool: k2 s1 VALID, then blur-pool stride 2
         x = nn.max_pool(x, (2, 2), strides=(1, 1), padding="VALID")
         x = blur_pool(x, filt_size=4, stride=2)
-        x = ResnetBlockBN(64, use_running_average=ura, name="layer1_0")(x)
-        x = ResnetBlockBN(64, use_running_average=ura, name="layer1_1")(x)
-        x = nn.Conv(128, (1, 1), use_bias=True, name="head_conv1")(x)
+        x = ResnetBlockBN(64, use_running_average=ura, dtype=dt, name="layer1_0")(x)
+        x = ResnetBlockBN(64, use_running_average=ura, dtype=dt, name="layer1_1")(x)
+        x = nn.Conv(128, (1, 1), use_bias=True, name="head_conv1", dtype=dt)(x)
         x = instance_norm(x)
         x = nn.leaky_relu(x, negative_slope=0.2)
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")  # replicate
-        x = nn.Conv(self.num_ch_out, (3, 3), padding="VALID", use_bias=True, name="head_conv2")(xp)
+        x = nn.Conv(self.num_ch_out, (3, 3), padding="VALID", use_bias=True, name="head_conv2",
+                    dtype=dt)(xp)
         return instance_norm(x)

@@ -41,6 +41,22 @@ def install() -> None:
     import torch.nn as nn
     import torch.nn.functional as F
 
+    # ---- pytorch_lightning ----------------------------------------------
+    # only the surface BDModel/DepthModel touch at construction + forward:
+    # LightningModule as a plain nn.Module, save_hyperparameters/log no-ops.
+    pl = types.ModuleType("pytorch_lightning")
+
+    class LightningModule(nn.Module):
+        def save_hyperparameters(self, *a, **k):
+            pass
+
+        def log(self, *a, **k):
+            pass
+
+    pl.LightningModule = LightningModule
+    pl.seed_everything = lambda *a, **k: None
+    sys.modules["pytorch_lightning"] = pl
+
     # ---- kornia.filters ------------------------------------------------
     kornia = types.ModuleType("kornia")
     kfilters = types.ModuleType("kornia.filters")
