@@ -7,13 +7,26 @@
 // camera: x_pix = K [R|t] X, with the +0.5 pixel-centre sampling used
 // throughout the framework.
 //
-// Build: g++ -O3 -march=native -shared -fPIC rasterizer.cpp -o librasterizer.so
+// Build: g++ -O3 -fopenmp -shared -fPIC rasterizer.cpp -o librasterizer.so
 // Exposed via ctypes (implicit_depth_tpu/eval/rasterizer.py).
+//
+// Parallelism: OpenMP over vertices (transform/project) and faces
+// (rasterise). The z-buffer race is avoided with one z-buffer per thread
+// and a min-reduction — ScanNet GT meshes are 1-2 M faces and the
+// temporal eval renders one per frame (binary_metrics_utils.py:336-358),
+// so the faces loop is the wall on multi-core hosts. Honours
+// OMP_NUM_THREADS; on a 1-core host this compiles to the serial path.
 
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstring>
 #include <limits>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 extern "C" {
 
@@ -36,6 +49,7 @@ void rasterize_depth(
   float* cam = new float[n_verts * 3];
   float* px = new float[n_verts];
   float* py = new float[n_verts];
+#pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n_verts; ++i) {
     const float x = verts[i * 3 + 0];
     const float y = verts[i * 3 + 1];
@@ -58,7 +72,26 @@ void rasterize_depth(
   const int64_t npix = (int64_t)height * width;
   for (int64_t i = 0; i < npix; ++i) out_depth[i] = 0.0f;
 
+#ifdef _OPENMP
+  const int max_threads = omp_get_max_threads();
+#else
+  const int max_threads = 1;
+#endif
+  // one z-buffer per extra thread; thread 0 writes out_depth directly
+  std::vector<std::vector<float>> thread_bufs;
+  if (max_threads > 1) {
+    thread_bufs.resize(max_threads - 1);
+    for (auto& b : thread_bufs) b.assign(npix, 0.0f);
+  }
+
+#pragma omp parallel for schedule(dynamic, 1024)
   for (int64_t f = 0; f < n_faces; ++f) {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+#else
+    const int tid = 0;
+#endif
+    float* zbuf = tid == 0 ? out_depth : thread_bufs[tid - 1].data();
     const int32_t i0 = faces[f * 3 + 0];
     const int32_t i1 = faces[f * 3 + 1];
     const int32_t i2 = faces[f * 3 + 2];
@@ -99,9 +132,18 @@ void rasterize_depth(
         // perspective-correct depth: interpolate 1/z in screen space
         const float iz = w0 * iz0 + w1 * iz1 + w2 * iz2;
         const float z = 1.0f / iz;
-        float* d = &out_depth[(int64_t)v * width + u];
+        float* d = &zbuf[(int64_t)v * width + u];
         if (*d == 0.0f || z < *d) *d = z;
       }
+    }
+  }
+
+  // min-reduce the per-thread z-buffers into out_depth (0 = empty)
+  for (const auto& buf : thread_bufs) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < npix; ++i) {
+      const float z = buf[i];
+      if (z > 0.0f && (out_depth[i] == 0.0f || z < out_depth[i])) out_depth[i] = z;
     }
   }
 
@@ -118,6 +160,7 @@ void project_vertices(
     float* out_uvz) {
   const float fx = K[0], cx = K[2];
   const float fy = K[4], cy = K[5];
+#pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n_verts; ++i) {
     const float x = verts[i * 3 + 0];
     const float y = verts[i * 3 + 1];

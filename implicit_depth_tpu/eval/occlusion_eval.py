@@ -308,6 +308,16 @@ def evaluate_scenes(
     if output_dir:
         all_avg.output_json(os.path.join(output_dir, "all_scenes_metrics.json"))
 
+    # executable count per jitted fn — static shapes mean exactly ONE
+    # compile each for the whole eval, regardless of per-scene remainder
+    # batch sizes (asserted by tests/test_eval_driver.py)
+    try:
+        n_compiles = fwd._cache_size() + (
+            stacked_score._cache_size() if stacked_score is not None else 0
+        )
+    except AttributeError:  # private API; tolerate jax changes
+        n_compiles = -1
+
     return {
         "all_scene": all_avg,
         "scenes": per_scene,
@@ -315,4 +325,5 @@ def evaluate_scenes(
         "model_time_ms": (fwd_time / max(fwd_frames, 1)) * 1000.0,
         # forward + upsample + IoU scoring, all on device
         "step_time_ms": (step_time / max(fwd_frames, 1)) * 1000.0,
+        "n_compiles": n_compiles,
     }

@@ -33,7 +33,7 @@ def _load_lib():
     src = os.path.join(_CSRC, "rasterizer.cpp")
     if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src):
         subprocess.check_call(
-            ["g++", "-O3", "-shared", "-fPIC", src, "-o", _LIB_PATH]
+            ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", src, "-o", _LIB_PATH]
         )
     lib = ctypes.CDLL(_LIB_PATH)
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")

@@ -10,6 +10,7 @@ predictions and flips are counted per window.
 
 from __future__ import annotations
 
+import time
 from typing import Optional
 
 import jax
@@ -51,12 +52,14 @@ def evaluate_temporal(
             out = net.apply(variables, cur, src, method=BDNet.forward_val)
             return jax.nn.sigmoid(sigmoid_multiplier * out["pred_0"].astype(jnp.float32))
 
+    frame_times: list = []
     for scene_id, ds in datasets_by_scene.items():
         ev.initialise_new_scene(gt_mesh_path=mesh_paths_by_scene[scene_id])
         prior_pred = None
         prior_pose = None
         n = len(ds) if max_frames_per_scene is None else min(len(ds), max_frames_per_scene)
         for i in range(n):
+            t_frame = time.perf_counter()
             cur, src = collate([ds[i]])
             cur = {k: jnp.asarray(v) for k, v in cur.items() if k != "frame_id_string"}
             src = {k: jnp.asarray(v) for k, v in src.items() if k != "frame_id_string"}
@@ -69,8 +72,12 @@ def evaluate_temporal(
                 # -1 is the model's invalid-prior sentinel (sample_prior
                 # output); an all--1 prior with the current pose is the
                 # no-prior case without switching the jitted program's
-                # pytree structure (None -> array would force a retrace)
-                prior_pred = -jnp.ones((1, height, width, 1), jnp.float32)
+                # pytree structure (None -> array would force a retrace).
+                # Committed to the device so its sharding signature matches
+                # the fed-back prediction (uncommitted vs committed args
+                # compile two distinct executables).
+                prior_pred = jax.device_put(
+                    -jnp.ones((1, height, width, 1), jnp.float32), jax.devices()[0])
                 prior_pose = cur["cam_T_world"]
 
             rendered = ev.render_plane(cur["cam_T_world"][0], cur["K_s0"][0])
@@ -85,8 +92,16 @@ def evaluate_temporal(
                                          np.asarray(cur["K_s0"])[0])
             prior_pred = pred
             prior_pose = cur["cam_T_world"]
+            # wall time of the full per-frame pipeline (decode + plane
+            # render + model forward + rasterise + vertex update)
+            frame_times.append(time.perf_counter() - t_frame)
         ev.compute_vertex_occlusion_changes()
 
     score = ev.temporal_score(len(datasets_by_scene), eval_length, warmup, frame_multiplier)
+    # steady-state throughput = 1 / median frame time (robust against the
+    # XLA-compile frames)
+    med = sorted(frame_times)[len(frame_times) // 2] if frame_times else 0.0
     return {"temporal_score": score, "total_diffs": ev.total_diffs,
-            "total_verts": ev.total_verts}
+            "total_verts": ev.total_verts,
+            "frames_per_sec": (1.0 / med) if med else 0.0,
+            "n_frames": len(frame_times), "frame_times": frame_times}

@@ -77,6 +77,7 @@ class BDNet(nn.Module):
     use_pallas_warp: bool = False  # fused TPU warp kernel (fwd + custom-VJP bwd)
     remat_volume: bool = False  # rematerialise the warp+volume block in bwd
     train_bn: bool = False  # update batch stats (training)
+    mesh: Any = None  # jax.sharding.Mesh("data","model"): shard_map the warp
 
     def setup(self):
         # computation dtype for all conv/dense stacks (params stay f32);
@@ -169,6 +170,10 @@ class BDNet(nn.Module):
         elif (
             fused_volume
             and self.use_pallas_warp
+            and self.mesh is None
+            and not self.is_initializing()  # init builds params via the XLA
+            # path (the fused kernel reads fc1/fc2 params without calling
+            # them, and cannot lower on a CPU init device)
             and self.feature_volume_type == "mlp_feature_volume"
             and m_cur.shape[-1] == 16
             and self.volume_mlp.hidden == 128
@@ -218,7 +223,7 @@ class BDNet(nn.Module):
         wv = cv.build_warped_views(
             m_cur, m_src, src_K, src_T_cur, cur_invK, cur_T_src,
             planes, compute_dtype=self.compute_dtype,
-            use_pallas=self.use_pallas_warp,
+            use_pallas=self.use_pallas_warp, mesh=self.mesh,
         )
         if self.feature_volume_type == "mlp_feature_volume":
             return self.volume_mlp(wv, m_cur)  # (b, d, h, w)

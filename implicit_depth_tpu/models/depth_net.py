@@ -41,6 +41,7 @@ class DepthNet(nn.Module):
     compute_dtype: Any = jnp.float32
     use_pallas_warp: bool = False  # fused TPU warp kernel (forward-only)
     train_bn: bool = False
+    mesh: Any = None  # jax.sharding.Mesh("data","model"): shard_map the warp
 
     def setup(self):
         # computation dtype for all conv/dense stacks (params stay f32);
@@ -121,7 +122,7 @@ class DepthNet(nn.Module):
                 src_data[f"K_s{self.matching_scale}"], src_T_cur,
                 cur_data[f"invK_s{self.matching_scale}"], cur_T_src,
                 planes, compute_dtype=self.compute_dtype,
-                use_pallas=self.use_pallas_warp,
+                use_pallas=self.use_pallas_warp, mesh=self.mesh,
             )
             if self.feature_volume_type == "mlp_feature_volume":
                 volume = self.volume_mlp(wv, m_cur)

@@ -89,6 +89,7 @@ def build_warped_views(
     depth_planes_d: Array,
     compute_dtype=jnp.float32,
     use_pallas: bool = False,
+    mesh=None,
 ) -> WarpedViews:
     """Warps all source views onto the current view at every depth plane.
 
@@ -103,6 +104,10 @@ def build_warped_views(
             (reference `src_poses`, cur_cam_T_src_cam).
         depth_planes_d: (d,) plane depths.
         compute_dtype: dtype for feature sampling / dots (bf16 on TPU).
+        mesh: optional jax.sharding.Mesh("data", "model"); the warp then
+            runs under shard_map with batch on `data` and views on
+            `model` (parallel.sharded_warp) — required for the Pallas
+            kernel to shard instead of being gathered by GSPMD.
     """
     b, k, h, w, c = src_feats_bkhwc.shape
     d = depth_planes_d.shape[0]
@@ -112,13 +117,14 @@ def build_warped_views(
     pallas_ok = use_pallas and c == 16
     if use_pallas and not pallas_ok:
         _warn_pallas_fallback(h, w, c)
+    flat_warp = pallas_ok or mesh is not None
 
     # ---- coordinates (fp32 always; pose math parity w/ bd_model.py:196-204)
     M_bkd33 = geometry.plane_homographies(
         src_K_bk44, src_T_cur_bk44, cur_invK_b44, depth_planes_d
     )
     grid_hw3 = geometry.pixel_grid(h, w)
-    if pallas_ok:
+    if flat_warp:
         # the kernel computes its own sample coords; only the source-view
         # depth (z) metadata is needed here -> single-row einsum, 3x less
         # HBM than full xyz
@@ -140,22 +146,30 @@ def build_warped_views(
 
     # ---- bilinear gather of source features at all (d, h, w) points
     src_feats_c = src_feats_bkhwc.astype(compute_dtype)
-    if pallas_ok:
-        # fused MXU one-hot warp kernel with a custom-VJP transpose kernel
-        # (~18x faster than the XLA gather on TPU). See ops/warp_kernel.py.
-        from implicit_depth_tpu.ops.warp_kernel import warp_planes_diff as warp_planes
-
+    if flat_warp:
         A_bk33, b_bk3 = geometry.homography_components(
             src_K_bk44, src_T_cur_bk44, cur_invK_b44
         )
-        # fold batch into the kernel's view axis (vmap-of-pallas compiles
-        # pathologically slowly; a flat grid does not)
-        feats = warp_planes(
-            src_feats_c.reshape((b * k,) + src_feats_c.shape[2:]),
-            A_bk33.reshape(b * k, 3, 3),
-            b_bk3.reshape(b * k, 3),
-            depth_planes_d,
-        ).reshape((b, k, d, h, w, c))
+        # fold batch into the warp's view axis (vmap-of-pallas compiles
+        # pathologically slowly; a flat grid does not). Under a mesh the
+        # flat axis is split over ("data", "model").
+        src_flat = src_feats_c.reshape((b * k,) + src_feats_c.shape[2:])
+        A_flat = A_bk33.reshape(b * k, 3, 3)
+        b_flat = b_bk3.reshape(b * k, 3)
+        if mesh is not None:
+            from implicit_depth_tpu.parallel.sharded_warp import sharded_warp
+
+            feats = sharded_warp(
+                mesh, src_flat, A_flat, b_flat, depth_planes_d,
+                use_pallas=pallas_ok,
+            )
+        else:
+            # fused MXU one-hot warp kernel with a custom-VJP transpose
+            # kernel (~18x faster than the XLA gather on TPU).
+            from implicit_depth_tpu.ops.warp_kernel import warp_planes_diff
+
+            feats = warp_planes_diff(src_flat, A_flat, b_flat, depth_planes_d)
+        feats = feats.reshape((b, k, d, h, w, c))
     else:
         feats = jax.vmap(jax.vmap(_sample_one))(src_feats_c, x_idx, y_idx)
     # (b, k, d, h, w, c)

@@ -107,6 +107,8 @@ def bench_reference(batch=1, iters=3, warmup=1, fast=False):
     torch.manual_seed(0)
     cur_data = {
         "image_b3hw": torch.randn(batch, 3, 384, 512),
+        # bd_edge_regularision reads GT depth in run_mlp_val (bd_model.py:445)
+        "depth_b1hw": torch.rand(batch, 1, 192, 256) * 4.0 + 0.5,
         "invK_s1_b44": cams["invK_s1"],
         "world_T_cam_b44": cams["cur_world_T_cam"],
         "cam_T_world_b44": cams["cur_cam_T_world"],
@@ -145,8 +147,11 @@ def bench_reference(batch=1, iters=3, warmup=1, fast=False):
 
 
 def bench_jax_cpu(batch=1, iters=3, warmup=1):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # the ambient sitecustomize pins the TPU platform and ignores the env
+    # var; an explicit config update before first jax use forces CPU
     import jax
+
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from implicit_depth_tpu.models.bd_net import BDNet

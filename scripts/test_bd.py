@@ -24,8 +24,8 @@ def main():
     cfg = parse_and_merge()
     net = build_net(cfg, "bd", train_bn=False)
 
-    _, scans = get_dataset(cfg.dataset, cfg.dataset_scan_split_file,
-                           cfg.single_debug_scan_id)
+    ds_cls, scans = get_dataset(cfg.dataset, cfg.dataset_scan_split_file,
+                                cfg.single_debug_scan_id)
     # pass_frame_id=True: prediction caches are keyed by the dataset's real
     # frame_id_string (reference test_bd.py:139)
     datasets = {
@@ -47,10 +47,11 @@ def main():
     variables = ckpt_lib.load_params(cfg.load_weights_from_checkpoint, variables)
 
     if cfg.temporal_eval:
-        from implicit_depth_tpu.data.scannet import ScanNetDataset
         from implicit_depth_tpu.eval.temporal_driver import evaluate_temporal
 
-        meshes = {scan: ScanNetDataset.get_gt_mesh_path(cfg.dataset_path, cfg.split, scan)
+        # GT-mesh path comes from the dataset class (ScanNet: the
+        # _vh_clean_2.ply file; synthetic: a generated procedural mesh)
+        meshes = {scan: ds_cls.get_gt_mesh_path(cfg.dataset_path, cfg.split, scan)
                   for scan in datasets}
         result = evaluate_temporal(
             net, variables, datasets, meshes,
@@ -60,8 +61,11 @@ def main():
             height=cfg.depth_height, width=cfg.depth_width,
             max_frames_per_scene=cfg.max_frames,
         )
+        ft = ", ".join(f"{t:.2f}" for t in result["frame_times"])
         print(f"temporal_score: {result['temporal_score']:.4f} "
-              f"({result['total_diffs']:.0f} flips / {result['total_verts']} verts)")
+              f"({result['total_diffs']:.0f} flips / {result['total_verts']} verts), "
+              f"{result['frames_per_sec']:.2f} frames/s (median) over "
+              f"{result['n_frames']} frames [{ft}]")
         return
 
     thresholder = None

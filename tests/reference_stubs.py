@@ -57,6 +57,19 @@ def install() -> None:
     pl.seed_everything = lambda *a, **k: None
     sys.modules["pytorch_lightning"] = pl
 
+    # ---- moviepy (only imported for video export, never exercised) ----
+    moviepy = types.ModuleType("moviepy")
+    editor = types.ModuleType("moviepy.editor")
+
+    class _NoMoviepy:
+        def __init__(self, *a, **k):
+            raise RuntimeError("moviepy unavailable in this test env")
+
+    editor.ImageSequenceClip = _NoMoviepy
+    moviepy.editor = editor
+    sys.modules["moviepy"] = moviepy
+    sys.modules["moviepy.editor"] = editor
+
     # ---- kornia.filters ------------------------------------------------
     kornia = types.ModuleType("kornia")
     kfilters = types.ModuleType("kornia.filters")
@@ -100,6 +113,12 @@ def install() -> None:
         xp = F.pad(x, (1, 1, 1, 1), mode="reflect")
         return F.conv2d(xp, k2[None, None].expand(c, 1, 3, 3), groups=c, stride=stride)
 
+    def sobel(x, normalized=True, eps=1e-6):
+        g = spatial_gradient(x, normalized=normalized)
+        gx, gy = g[:, :, 0], g[:, :, 1]
+        return torch.sqrt(gx * gx + gy * gy + eps)
+
+    kfilters.sobel = sobel
     kfilters.spatial_gradient = spatial_gradient
     kfilters.gaussian_blur2d = gaussian_blur2d
     kfilters.blur_pool2d = blur_pool2d

@@ -69,3 +69,18 @@ def test_eval_driver_depth_from_binary():
     m = results["all_scene"].final_metrics
     assert "abs_rel" in m and np.isfinite(m["abs_rel"])
     assert "a25" in m
+
+
+def test_eval_no_recompiles_across_scenes():
+    """Static-shape eval (VERDICT r1 item 8): three scenes with different
+    tuple counts and remainder batch sizes share ONE executable per jitted
+    fn — remainders are padded, never recompiled."""
+    scenes = {
+        f"scene{i}": SyntheticDataset(num_frames=4 + i, num_views=3,
+                                      split="val", get_bd_info=True)
+        for i in range(3)
+    }  # 2, 3, 4 tuples per scene -> remainders 2, 0, 1 at batch 3
+    net, variables = _tiny_net_and_vars(next(iter(scenes.values())))
+    results = evaluate_scenes(net, variables, scenes, batch_size=3)
+    assert results["n_compiles"] in (2, -1)  # fwd + stacked scorer
+    assert np.isfinite(results["all_scene"].final_metrics["iou_0.5_d_1.5"])
