@@ -70,8 +70,6 @@ def _warp_kernel(
     iota_x_gu = jax.lax.broadcasted_iota(jnp.int32, (width, G * width), 0).astype(jnp.float32)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1, 1), 0).astype(jnp.float32)
 
-    num_chunks = height // _CHUNK
-
     def group_body(g, _):
         # depths of this group's planes: (G, 1) -> broadcast over u
         # SMEM only serves scalar loads on the compiled path: assemble the
@@ -88,44 +86,37 @@ def _warp_kernel(
         x = jnp.clip(r0 / z - 0.5, -2.0 * width, 2.0 * width)
         y = jnp.clip(r1 / z - 0.5, -2.0 * height, 2.0 * height)
 
-        x0 = jnp.floor(x)   # (G, W)
-        fx = x - x0
-        y0 = jnp.floor(y)
-        fy = y - y0
+        # x interpolation folded into the matmul operand with the bilinear
+        # hat max(0, 1 - |i - x|): (1-fx) at floor(x), fx at floor(x)+1,
+        # zero elsewhere — both corners in one f32-exact expression, then
+        # cast (bf16 rounds the corner weights, <=2^-8 relative, matching
+        # the bf16 feature storage precision). Zeros padding stays exact.
+        x_flat = x.reshape(1, G * width)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(iota_x_gu - x_flat)).astype(cdt)
 
-        # x interpolation folded into the matmul operand: each column (g,u)
-        # holds (1-fx) at row x0 and fx at row x0+1. In bf16 mode fx is
-        # rounded to bf16 (<=2^-8 relative), matching the bf16 feature
-        # storage precision; zeros padding stays exact (no row matches).
-        x0_flat = x0.reshape(1, G * width)
-        fx_flat = fx.reshape(1, G * width).astype(jnp.float32)
-        wx = (
-            (iota_x_gu == x0_flat).astype(jnp.float32) * (1.0 - fx_flat)
-            + (iota_x_gu == (x0_flat + 1.0)).astype(jnp.float32) * fx_flat
-        ).astype(cdt)  # (W, G*W)
+        # row-granular union band over the group: rows [start, start+8*nch)
+        # cover floor(min y)..floor(max y)+1 clipped to [0, height); reads
+        # past `height` land in the zero padding (exact)
+        lo_c = jnp.maximum(jnp.floor(jnp.min(y)).astype(jnp.int32), 0)
+        hi_c = jnp.minimum(jnp.floor(jnp.max(y)).astype(jnp.int32) + 1, height - 1)
+        nrows = hi_c - lo_c + 1
+        nch = jnp.where(nrows > 0, (nrows + _CHUNK - 1) // _CHUNK, 0)
+        start = jnp.clip(lo_c, 0, height - 1)
 
-        # union band over the group
-        lo = jnp.clip((jnp.min(y0) / _CHUNK).astype(jnp.int32), 0, num_chunks)
-        hi = jnp.clip(((jnp.max(y0) + 1.0) / _CHUNK).astype(jnp.int32) + 1, lo, num_chunks)
-
-        y0_rgu = y0.reshape(1, 1, G, width)  # broadcast over (r, c)
-        fy_rgu = fy.reshape(1, 1, G, width).astype(jnp.float32)
+        y_rgu = y.reshape(1, 1, G, width)
 
         def chunk_body(ci, acc):
-            rows = src_ref[0, pl.ds(ci * _CHUNK, _CHUNK)]  # (8, C, W)
+            st = start + ci * _CHUNK
+            rows = src_ref[0, pl.ds(st, _CHUNK)]  # (8, C, W)
             lhs = rows.reshape(_CHUNK * channels, width)
             gx = jnp.dot(lhs, wx, preferred_element_type=jnp.float32)
             gx = gx.reshape(_CHUNK, channels, G, width)
-            y_global = iota_r + jnp.float32(ci * _CHUNK)   # (8,1,1,1)
-            # y interpolation weights (fp32, exact): (1-fy) at y0, fy at y0+1
-            wy = (
-                (y_global == y0_rgu).astype(jnp.float32) * (1.0 - fy_rgu)
-                + (y_global == (y0_rgu + 1.0)).astype(jnp.float32) * fy_rgu
-            )  # (8,1,G,W)
+            y_global = iota_r + st.astype(jnp.float32)   # (8,1,1,1)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y_global - y_rgu))  # (8,1,G,W)
             return acc + jnp.sum(wy * gx, axis=0)
 
         zero = jnp.zeros((channels, G, width), jnp.float32)
-        out = jax.lax.fori_loop(lo, hi, chunk_body, zero)  # (C, G, W)
+        out = jax.lax.fori_loop(0, nch, chunk_body, zero)  # (C, G, W)
         out_ref[0, 0, pl.ds(g * G, G)] = jnp.transpose(out, (1, 0, 2)).astype(out_ref.dtype)
         return 0
 
@@ -161,21 +152,19 @@ def warp_planes(
     Dp = -(-D // _PGROUP) * _PGROUP
     planes_padded = jnp.pad(planes_d.astype(jnp.float32), (0, Dp - D),
                             constant_values=1.0)
-    # lane/sublane tiling for arbitrary shapes: pad W to the 128-lane
-    # multiple and source H to the row-chunk multiple with ZERO columns/
-    # rows. Zeros padding is exact here — bilinear with zeros padding
-    # treats out-of-range corners as 0, so a sample straddling the real
-    # border blends against genuine zeros either way. Padded *output*
-    # columns are junk and sliced off below.
+    # lane tiling for arbitrary shapes: pad W to the 128-lane multiple
+    # with ZERO columns (padded *output* columns are junk, sliced off
+    # below). Source rows get 8 extra ZERO rows so the row-granular
+    # 8-row windows may overrun `height` — zeros padding is exact:
+    # bilinear-with-zeros treats out-of-range corners as 0, so a sample
+    # straddling the real border blends against genuine zeros either way.
     Wp = -(-W // 128) * 128
-    Hp = -(-H // _CHUNK) * _CHUNK
-    src = src_feats_khwc
-    if Wp != W or Hp != H:
-        src = jnp.pad(src, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)))
+    Hp = H + _CHUNK
+    src = jnp.pad(src_feats_khwc, ((0, 0), (0, _CHUNK), (0, Wp - W), (0, 0)))
     src_cmaj = jnp.moveaxis(src, -1, 2)  # (K, Hp, C, Wp)
 
     kernel = functools.partial(
-        _warp_kernel, height=Hp, width=Wp, channels=C, num_planes=Dp
+        _warp_kernel, height=H, width=Wp, channels=C, num_planes=Dp
     )
     out = pl.pallas_call(
         kernel,
@@ -236,11 +225,10 @@ def _warp_bwd_kernel(
 
     iota_x_gu = jax.lax.broadcasted_iota(jnp.int32, (width, G * width), 0).astype(jnp.float32)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1, 1, 1), 0).astype(jnp.float32)
-    num_chunks = height // _CHUNK
 
     @pl.when(v == 0)
     def _init():
-        out_ref[0] = jnp.zeros((height, channels, width), out_ref.dtype)
+        out_ref[0] = jnp.zeros((height + _CHUNK, channels, width), out_ref.dtype)
 
     def group_body(g, _):
         gi_col = jax.lax.broadcasted_iota(jnp.int32, (G, 1), 0)
@@ -254,43 +242,36 @@ def _warp_bwd_kernel(
         z = jnp.maximum(r2, 1e-5)
         x = jnp.clip(r0 / z - 0.5, -2.0 * width, 2.0 * width)
         y = jnp.clip(r1 / z - 0.5, -2.0 * height, 2.0 * height)
-        x0 = jnp.floor(x)
-        fx = x - x0
-        y0 = jnp.floor(y)
-        fy = y - y0
 
-        x0_flat = x0.reshape(1, G * width)
-        fx_flat = fx.reshape(1, G * width).astype(jnp.float32)
-        wx = (
-            (iota_x_gu == x0_flat).astype(jnp.float32) * (1.0 - fx_flat)
-            + (iota_x_gu == (x0_flat + 1.0)).astype(jnp.float32) * fx_flat
-        ).astype(cdt)  # (W, G*W)
+        # bilinear hat operands + row-granular window (see _warp_kernel)
+        x_flat = x.reshape(1, G * width)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(iota_x_gu - x_flat)).astype(cdt)
 
-        lo = jnp.clip((jnp.min(y0) / _CHUNK).astype(jnp.int32), 0, num_chunks)
-        hi = jnp.clip(((jnp.max(y0) + 1.0) / _CHUNK).astype(jnp.int32) + 1, lo, num_chunks)
+        lo_c = jnp.maximum(jnp.floor(jnp.min(y)).astype(jnp.int32), 0)
+        hi_c = jnp.minimum(jnp.floor(jnp.max(y)).astype(jnp.int32) + 1, height - 1)
+        nrows = hi_c - lo_c + 1
+        nch = jnp.where(nrows > 0, (nrows + _CHUNK - 1) // _CHUNK, 0)
+        start = jnp.clip(lo_c, 0, height - 1)
 
-        y0_rgu = y0.reshape(1, 1, G, width)
-        fy_rgu = fy.reshape(1, 1, G, width).astype(jnp.float32)
+        y_rgu = y.reshape(1, 1, G, width)
         # cotangent of this plane group: (G, C, W) -> (1, C, G, W)
         ct = ct_ref[0, 0, pl.ds(g * G, G)].astype(jnp.float32)
         ct_cgu = jnp.transpose(ct, (1, 0, 2))[None]  # (1, C, G, W)
 
         def chunk_body(ci, _):
-            y_global = iota_r + jnp.float32(ci * _CHUNK)
-            wy = (
-                (y_global == y0_rgu).astype(jnp.float32) * (1.0 - fy_rgu)
-                + (y_global == (y0_rgu + 1.0)).astype(jnp.float32) * fy_rgu
-            )  # (8, 1, G, W)
+            st = start + ci * _CHUNK
+            y_global = iota_r + st.astype(jnp.float32)
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(y_global - y_rgu))  # (8,1,G,W)
             t = (wy * ct_cgu).astype(cdt)            # (8, C, G, W)
             lhs = t.reshape(_CHUNK * channels, G * width)
             # scatter along x: (rc, gu) @ (gu, x) = (rc, x)
             contrib = jnp.dot(lhs, wx.T, preferred_element_type=jnp.float32)
             contrib = contrib.reshape(_CHUNK, channels, width)
-            sl = pl.ds(ci * _CHUNK, _CHUNK)
+            sl = pl.ds(st, _CHUNK)
             out_ref[0, sl] = out_ref[0, sl] + contrib.astype(out_ref.dtype)
             return 0
 
-        jax.lax.fori_loop(lo, hi, chunk_body, 0)
+        jax.lax.fori_loop(0, nch, chunk_body, 0)
         return 0
 
     jax.lax.fori_loop(0, ng_ref[0], group_body, 0)
@@ -309,7 +290,7 @@ def warp_planes_bwd(
     K, D, H, W, C = ct_kdhwc.shape
     Dp = -(-D // _PGROUP) * _PGROUP
     Wp = -(-W // 128) * 128
-    Hp = -(-H // _CHUNK) * _CHUNK
+    Hp = H + _CHUNK  # row-granular windows may scatter up to 7 rows past H
     ct = jnp.transpose(ct_kdhwc, (0, 2, 1, 4, 3))  # (K, V, D, C, W)
     if Dp != D or Wp != W:
         # zero cotangent on padded planes/columns scatters nothing — exact
@@ -317,7 +298,7 @@ def warp_planes_bwd(
     planes_padded = jnp.pad(planes_d.astype(jnp.float32), (0, Dp - D), constant_values=1.0)
 
     kernel = functools.partial(
-        _warp_bwd_kernel, height=Hp, width=Wp, channels=C, num_planes=Dp
+        _warp_bwd_kernel, height=H, width=Wp, channels=C, num_planes=Dp
     )
     # accumulate in f32 regardless of ct dtype for stable reductions
     out = pl.pallas_call(
