@@ -182,7 +182,23 @@ def _coerce(name: str, raw: str):
     return raw
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compile cache for every CLI entry point — cold
+    remote compiles take 1-10 min; warm loads ~1 s."""
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".cache", "jax_compile"),
+        )
+    except Exception:
+        pass  # already set with a different value, or backend finalised
+
+
 def parse_and_merge(argv=None, config_filepaths=None) -> Config:
+    _enable_compilation_cache()
     """Config-file(s) then CLI, later wins (options.py:250-255)."""
     cfg = Config()
     parser = build_parser()

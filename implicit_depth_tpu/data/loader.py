@@ -5,12 +5,22 @@ pool maps dataset.__getitem__, a bounded queue keeps `prefetch` collated
 batches ready, and (optionally) batches are placed on device/sharded
 while the TPU is busy with the previous step. Python threads suffice
 because the heavy lifting (PIL decode, numpy) releases the GIL.
+
+Determinism/resume: the shuffle order of epoch e is a pure function of
+(seed, e) — RandomState(seed + e) — so a run resumed at step N with
+`start_batch=N` sees exactly the batches an uninterrupted run would
+(skipped batches are skipped at the INDEX level, nothing is loaded).
+
+Backpressure observability: `stats()` reports batches produced, time the
+consumer spent starved (queue empty) and time the producer spent blocked
+(queue full) — logged by the train loop as data/* scalars.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, Optional
 
@@ -31,6 +41,7 @@ class BatchLoader:
         drop_last: bool = True,
         device_put_fn: Optional[Callable] = None,
         epochs: Optional[int] = None,  # None = loop forever
+        start_batch: int = 0,          # deterministic resume offset
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -40,20 +51,43 @@ class BatchLoader:
         self.drop_last = drop_last
         self.device_put_fn = device_put_fn
         self.epochs = epochs
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.start_batch = start_batch
         self._stop = threading.Event()
+        self._produced = 0
+        self._starved_s = 0.0
+        self._blocked_s = 0.0
 
     def __len__(self) -> int:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def stats(self) -> dict:
+        """Producer/consumer backpressure counters since construction."""
+        return {
+            "batches_produced": self._produced,
+            "consumer_starved_s": self._starved_s,
+            "producer_blocked_s": self._blocked_s,
+        }
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        if not self.shuffle:
+            return np.arange(n)
+        # pure function of (seed, epoch): resumable, worker-count invariant
+        return np.random.RandomState(self.seed + epoch).permutation(n)
+
     def _index_stream(self):
         epoch = 0
         n = len(self.dataset)
+        skip = self.start_batch
         while self.epochs is None or epoch < self.epochs:
-            order = self.rng.permutation(n) if self.shuffle else np.arange(n)
+            order = self._epoch_order(epoch)
             stop = n - (n % self.batch_size) if self.drop_last else n
             for s in range(0, stop, self.batch_size):
+                if skip > 0:  # resume: skip at the index level, load nothing
+                    skip -= 1
+                    continue
                 yield order[s : s + self.batch_size]
             epoch += 1
 
@@ -71,7 +105,10 @@ class BatchLoader:
                     batch = collate(samples)
                     if self.device_put_fn is not None:
                         batch = self.device_put_fn(batch)
+                    t0 = time.perf_counter()
                     q.put(batch)
+                    self._blocked_s += time.perf_counter() - t0
+                    self._produced += 1
             finally:
                 q.put(SENTINEL)
 
@@ -79,7 +116,9 @@ class BatchLoader:
         t.start()
         try:
             while True:
+                t0 = time.perf_counter()
                 item = q.get()
+                self._starved_s += time.perf_counter() - t0
                 if item is SENTINEL:
                     break
                 yield item

@@ -18,6 +18,7 @@ import json
 import os
 import re
 import shutil
+import threading
 from typing import Optional
 
 import jax
@@ -36,25 +37,48 @@ class CheckpointManager:
     Keeps `save_top_k` checkpoints ranked by a monitored metric plus a
     rolling `last` checkpoint — the reference's ModelCheckpoint policy
     (train_bd.py:131-137: top-3 on val/harmonic_iou, save_last).
+
+    With async_write=True the serialisation + disk write happen on a
+    background thread: jax arrays are immutable and the training loop
+    does not donate its state, so handing the live state to the writer
+    is safe, and the step-time cost of a save drops to a thread handoff.
+    `wait()` (also called on the next save and by best_path) joins the
+    in-flight write.
     """
 
     def __init__(self, directory: str, monitor: str = "loss", mode: str = "min",
-                 save_top_k: int = 3):
+                 save_top_k: int = 3, async_write: bool = False):
         self.directory = directory
         self.monitor = monitor
         self.mode = mode
         self.save_top_k = save_top_k
+        self.async_write = async_write
         self._entries: list[tuple[float, str]] = []
+        self._pending: Optional[threading.Thread] = None
         os.makedirs(directory, exist_ok=True)
 
     def _better(self, a: float, b: float) -> bool:
         return a > b if self.mode == "max" else a < b
 
+    def wait(self) -> None:
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+
     def save(self, state, config: Optional[dict] = None, metrics: Optional[dict] = None,
              step: Optional[int] = None) -> str:
         step = int(state.step) if step is None else step
         path = os.path.join(self.directory, f"ckpt_{step:08d}")
-        save_state(path, state, config=config, metrics=metrics)
+        self.wait()  # one in-flight write at a time
+        if self.async_write:
+            t = threading.Thread(
+                target=save_state, args=(path, state),
+                kwargs=dict(config=config, metrics=metrics), daemon=True,
+            )
+            t.start()
+            self._pending = t
+        else:
+            save_state(path, state, config=config, metrics=metrics)
 
         if metrics and self.monitor in metrics:
             self._entries.append((float(metrics[self.monitor]), path))
@@ -74,6 +98,7 @@ class CheckpointManager:
         return path
 
     def best_path(self) -> Optional[str]:
+        self.wait()
         return self._entries[0][1] if self._entries else None
 
 

@@ -62,10 +62,18 @@ def _read_gitignore(root: str) -> list[str]:
     return pats
 
 
-def copy_code_state(dest: str, root: str = ".") -> None:
+def copy_code_state(dest: str, root: str | None = None) -> None:
     """Snapshots the code tree for reproducibility, honouring .gitignore
-    (utils/generic_utils.py:16-33, without shelling out to rsync)."""
-    patterns = _read_gitignore(root) + [".git"]
+    (utils/generic_utils.py:16-33, without shelling out to rsync).
+
+    Defaults to the REPOSITORY root (derived from this file), never the
+    process cwd — a cwd snapshot can recurse into its own output
+    directory or copy arbitrary host files when a CLI runs elsewhere.
+    """
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    dest_abs = os.path.abspath(dest)
+    patterns = _read_gitignore(root) + [".git", ".cache", "*.msgpack", "*.so"]
 
     def ignored(rel: str) -> bool:
         base = os.path.basename(rel)
@@ -75,6 +83,9 @@ def copy_code_state(dest: str, root: str = ".") -> None:
         )
 
     for dirpath, dirnames, filenames in os.walk(root):
+        if os.path.abspath(dirpath).startswith(dest_abs):
+            dirnames[:] = []  # never descend into our own snapshot
+            continue
         rel_dir = os.path.relpath(dirpath, root)
         rel_dir = "" if rel_dir == "." else rel_dir
         dirnames[:] = [d for d in dirnames

@@ -128,8 +128,21 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
     train_ds = build_dataset(cfg, "train", kind)
     val_ds = build_dataset(cfg, "val", kind)
 
+    # deterministic data-order resume: epoch order is a pure function of
+    # (seed, epoch); a resumed run skips the already-consumed batches at
+    # the index level (+1 for the init batch drawn below)
+    resume_step = 0
+    if cfg.resume:
+        import json as _json
+
+        with open(os.path.join(cfg.resume, "state.msgpack"), "rb"):
+            pass  # existence check; the state itself is restored below
+        try:
+            resume_step = int(ckpt_lib.load_meta(cfg.resume)["metrics"].get("step", 0))
+        except Exception:
+            resume_step = 0
     loader = BatchLoader(train_ds, cfg.batch_size, num_workers=cfg.num_workers,
-                         seed=cfg.random_seed)
+                         seed=cfg.random_seed, start_batch=resume_step)
     val_loader = BatchLoader(val_ds, cfg.val_batch_size, shuffle=False,
                              num_workers=cfg.num_workers, epochs=1)
 
@@ -177,8 +190,9 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
     except Exception as e:
         print(f"code snapshot failed: {e}")
     monitor, mode = ("val/harmonic_iou", "max") if kind == "bd" else ("val/loss", "min")
+    # async: serialisation + disk write happen off the training thread
     mgr = ckpt_lib.CheckpointManager(os.path.join(logger.dir, "checkpoints"),
-                                     monitor=monitor, mode=mode)
+                                     monitor=monitor, mode=mode, async_write=True)
     cfg_dict = dataclasses.asdict(cfg)
 
     rng = jax.random.PRNGKey(cfg.random_seed + 2)
@@ -246,6 +260,7 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
         if step_i % cfg.log_interval == 0:
             scalars = {f"train/{k}": float(v) for k, v in losses.items()}
             scalars["train/steps_per_sec"] = cfg.log_interval / max(time.time() - t0, 1e-9)
+            scalars.update({f"data/{k}": float(v) for k, v in loader.stats().items()})
             t0 = time.time()
             logger.log_scalars(step_i, scalars)
             if log_cb:
@@ -255,7 +270,9 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
             vm = run_validation(state)
             if vm:
                 logger.log_scalars(step_i, vm)
-            mgr.save(state, config=cfg_dict, metrics=vm or {monitor: 0.0})
+            vm = dict(vm or {monitor: 0.0})
+            vm["step"] = step_i  # recorded for deterministic data resume
+            mgr.save(state, config=cfg_dict, metrics=vm)
 
         try:
             batch = _batch_to_jnp(next(it))
@@ -264,5 +281,6 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
             batch = _batch_to_jnp(next(it))
 
     loader.stop()
+    mgr.wait()  # join the in-flight async checkpoint write
     logger.close()
     return state

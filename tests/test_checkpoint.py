@@ -165,3 +165,26 @@ def test_checkpoint_manager_topk(tmp_path):
     assert len(kept) == 2  # 0.5 and 0.7 survive
     assert mgr.best_path().endswith("ckpt_00000003")
     assert os.path.exists(str(tmp_path / "last"))
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """async_write serialises on a background thread; wait() joins and the
+    restored state matches."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from implicit_depth_tpu.train import checkpoint as ckpt_lib
+    from implicit_depth_tpu.train import state as state_lib
+
+    params = {"w": jnp.arange(12.0).reshape(3, 4)}
+    tx = optax.sgd(1e-2)
+    state = state_lib.create_train_state({"params": params}, tx)
+    mgr = ckpt_lib.CheckpointManager(str(tmp_path), monitor="m", mode="max",
+                                     async_write=True)
+    path = mgr.save(state, metrics={"m": 1.0})
+    mgr.wait()
+    restored = ckpt_lib.restore_state(path, state)
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(params["w"]))
+    assert mgr.best_path() == path
