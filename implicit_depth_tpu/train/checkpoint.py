@@ -421,6 +421,24 @@ def convert_image_encoder(state_dict: dict, prefix: str = "encoder") -> dict:
     )
 
 
+def convert_reference_depth_checkpoint(state_dict: dict) -> tuple[dict, dict]:
+    """Converts a reference DepthModel state_dict (experiment_modules/
+    depth_model.py) to (params, batch_stats) for DepthNet — same subnets
+    as the BD model minus the binary MLP, plus the per-scale 1x1 depth
+    heads (modules/networks.py:158-161)."""
+    params: dict = {}
+    stats: dict = {}
+    p, s = split_bn(convert_image_encoder(state_dict))
+    params["encoder"], stats["encoder"] = p, s
+    p, s = split_bn(convert_matching_encoder(state_dict))
+    params["matching"], stats["matching"] = p, s
+    if any(k.startswith("cost_volume.mlp") for k in state_dict):
+        params["volume_mlp"] = convert_volume_mlp(state_dict)
+    params["cv_encoder"] = convert_cv_encoder(state_dict)
+    params["decoder"] = convert_decoder_pp(state_dict, "depth_decoder.convs", heads=True)
+    return params, stats
+
+
 def convert_reference_bd_checkpoint(state_dict: dict) -> tuple[dict, dict]:
     """Converts a reference BDModel state_dict to (params, batch_stats)
     subtrees keyed by our module names — a COMPLETE tree for

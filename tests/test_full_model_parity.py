@@ -149,3 +149,80 @@ def test_full_bd_model_parity():
     # the occlusion decisions themselves must agree essentially everywhere
     agree = np.mean((got > 0) == (ref_logits > 0))
     assert agree > 0.999, f"sign agreement {agree}"
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_full_depth_model_parity():
+    """Same golden check for the regression sibling: reference DepthModel
+    val forward vs DepthNet through convert_reference_depth_checkpoint."""
+    from tests import reference_stubs
+
+    reference_stubs.install()
+    import timm
+    from tests.test_timm_conversion import EffNetV2STwin, _randomise_bn
+
+    class _FI:
+        def channels(self):
+            return [24, 48, 64, 160, 256]
+
+    timm.create_model = lambda *a, **k: (lambda m: (setattr(m, "feature_info", _FI()), m)[1])(EffNetV2STwin())
+
+    from options import Options
+    from experiment_modules.depth_model import DepthModel
+
+    opts = Options()
+    opts.image_width = IMG_W
+    opts.image_height = IMG_H
+    opts.model_num_views = K_SRC + 1
+    opts.matching_num_depth_bins = D_BINS
+
+    torch.manual_seed(5)
+    model = DepthModel(opts).eval()
+    _randomise_bn(model)
+
+    b = 1
+    rng = np.random.RandomState(13)
+    at_scale, cur_w_T_c, src_w_T_c = _make_cameras(b, K_SRC)
+    cur_img = rng.randn(b, IMG_H, IMG_W, 3).astype(np.float32)
+    src_img = rng.randn(b, K_SRC, IMG_H, IMG_W, 3).astype(np.float32)
+
+    cur_t = {
+        "image_b3hw": torch.from_numpy(cur_img.transpose(0, 3, 1, 2)).contiguous(),
+        "invK_s1_b44": torch.from_numpy(
+            np.linalg.inv(at_scale(1))[None].repeat(b, 0).copy()),
+        "world_T_cam_b44": torch.from_numpy(cur_w_T_c),
+        "cam_T_world_b44": torch.from_numpy(np.linalg.inv(cur_w_T_c)),
+    }
+    src_t = {
+        "image_b3hw": torch.from_numpy(src_img.transpose(0, 1, 4, 2, 3)).contiguous(),
+        "K_s1_b44": torch.from_numpy(
+            np.broadcast_to(at_scale(1), (b, K_SRC, 4, 4)).copy()),
+        "world_T_cam_b44": torch.from_numpy(src_w_T_c),
+        "cam_T_world_b44": torch.from_numpy(np.linalg.inv(src_w_T_c)),
+    }
+    with torch.no_grad():
+        ref_out = model("val", cur_t, src_t,
+                        unbatched_matching_encoder_forward=True, return_mask=True)
+    ref_depth = ref_out["depth_pred_s0_b1hw"].numpy()
+
+    from implicit_depth_tpu.models.depth_net import DepthNet
+
+    params, stats = ckpt.convert_reference_depth_checkpoint(model.state_dict())
+    net = DepthNet(num_src_views=K_SRC, num_depth_bins=D_BINS)
+    cur_j = {
+        "image": jnp.asarray(cur_img),
+        "invK_s1": jnp.asarray(np.linalg.inv(at_scale(1))[None].repeat(b, 0)),
+        "world_T_cam": jnp.asarray(cur_w_T_c),
+        "cam_T_world": jnp.asarray(np.linalg.inv(cur_w_T_c)),
+    }
+    src_j = {
+        "image": jnp.asarray(src_img),
+        "K_s1": jnp.asarray(np.broadcast_to(at_scale(1), (b, K_SRC, 4, 4)).copy()),
+        "world_T_cam": jnp.asarray(src_w_T_c),
+        "cam_T_world": jnp.asarray(np.linalg.inv(src_w_T_c)),
+    }
+    out = net.apply({"params": params, "batch_stats": stats}, cur_j, src_j)
+    got = np.asarray(out["depth_pred_0"]).transpose(0, 3, 1, 2)
+
+    assert got.shape == ref_depth.shape
+    np.testing.assert_allclose(got, ref_depth, atol=5e-3, rtol=5e-3)
