@@ -30,6 +30,9 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="reference .ckpt path")
     ap.add_argument("--output", required=True, help="output .msgpack path")
+    ap.add_argument("--kind", choices=("bd", "regression", "auto"), default="auto",
+                    help="checkpoint family: implicit_depth*.ckpt (bd) or "
+                         "regression.ckpt; auto-detected from the state_dict")
     args = ap.parse_args()
 
     import torch
@@ -40,7 +43,14 @@ def main():
     sd = payload.get("state_dict", payload)
     hparams = payload.get("hyper_parameters", {})
 
-    params, stats = ckpt_lib.convert_reference_bd_checkpoint(sd)
+    kind = args.kind
+    if kind == "auto":
+        kind = "bd" if any(k.startswith("binary_mlp.") for k in sd) else "regression"
+        print(f"detected checkpoint kind: {kind}")
+    if kind == "bd":
+        params, stats = ckpt_lib.convert_reference_bd_checkpoint(sd)
+    else:
+        params, stats = ckpt_lib.convert_reference_depth_checkpoint(sd)
     variables = {"params": params, "batch_stats": stats}
     n = sum(x.size for x in __import__("jax").tree.leaves(variables))
     ckpt_lib.save_params(args.output, variables,
