@@ -49,6 +49,9 @@ class Config:
     shuffle_tuple: bool = False
     test_keyframe_buffer_size: int = 30
     full_depth_supervision: bool = True
+    # hypersim: mask depth to (min,max) range instead of NaN-only
+    # (datasets/hypersim_dataset.py:135-145, configs/data/hypersim_default_test.yaml)
+    use_min_max_depth: bool = False
 
     # ---- hyperparameters
     lr: float = 1e-4
@@ -198,8 +201,8 @@ def _enable_compilation_cache() -> None:
 
 
 def parse_and_merge(argv=None, config_filepaths=None) -> Config:
-    _enable_compilation_cache()
     """Config-file(s) then CLI, later wins (options.py:250-255)."""
+    _enable_compilation_cache()
     cfg = Config()
     parser = build_parser()
     args = parser.parse_args(argv)

@@ -44,9 +44,13 @@ def perpendicular_depth_from_distance(distance_hw: np.ndarray, rays_cam_hw3: np.
 
 
 def image_is_anomalous(img: np.ndarray, threshold: float = 0.3) -> bool:
-    """Mode-fraction filter (hypersim_dataset.py:179-198)."""
-    flat = np.round(np.asarray(img).ravel() * 255).astype(np.int64)
-    counts = np.bincount(flat - flat.min())
+    """Mode-fraction filter (hypersim_dataset.py:179-198): an image is
+    anomalous when more than `threshold` of its pixels share one value
+    (bad/black renders). Works on raw uint8 color and float depth alike."""
+    flat = np.asarray(img).ravel()
+    if flat.size == 0:
+        return True
+    _, counts = np.unique(flat, return_counts=True)
     return counts.max() / flat.size > threshold
 
 
@@ -54,11 +58,15 @@ class HypersimDataset(GenericMVSDataset):
     def __init__(self, dataset_path: str, split: str,
                  split_json_dir: str = "data_splits/hypersim",
                  min_valid_depth: float = 1e-3, max_valid_depth: float = 20.0,
+                 use_min_max_depth: bool = False,
                  **kwargs):
         super().__init__(dataset_path=dataset_path, split=split, **kwargs)
         self.split_json_dir = split_json_dir
         self.min_valid_depth = min_valid_depth
         self.max_valid_depth = max_valid_depth
+        # False: NaN-only masking; True: additionally mask outside
+        # (min_valid, max_valid) (hypersim_dataset.py:135-145, 560-570)
+        self.use_min_max_depth = use_min_max_depth
         self._cam_params: dict = {}
         self._scale_cache: dict = {}
         self._h5: dict = {}
@@ -82,8 +90,57 @@ class HypersimDataset(GenericMVSDataset):
         with open(os.path.join(self.split_json_dir, sub, name)) as f:
             return json.load(f)[scan_id]
 
+    def get_valid_frame_path(self, scan_id: str) -> str:
+        return os.path.join(self.dataset_path, "valid_frames", scan_id,
+                            "valid_frames.txt")
+
     def get_valid_frame_ids(self, scan_id: str, store_computed: bool = False):
-        return [f"{scan_id} {fid} 0" for fid in self._frame_ids(scan_id)]
+        """Computes (or loads cached) valid frames for a scan, filtering
+        anomalous color/depth renders and non-finite poses — the
+        reference's mode-fraction filter applied during valid-frame
+        computation (hypersim_dataset.py:210-283)."""
+        cache_path = self.get_valid_frame_path(scan_id)
+        if os.path.exists(cache_path):
+            with open(cache_path) as f:
+                return [ln.strip() for ln in f if ln.strip()]
+
+        valid_frames = []
+        dist_to_last_valid = 0
+        bad = 0
+        for fid in self._frame_ids(scan_id):
+            if self._frame_is_bad(scan_id, fid):
+                bad += 1
+                dist_to_last_valid += 1
+                continue
+            valid_frames.append(f"{scan_id} {fid} {dist_to_last_valid}")
+            dist_to_last_valid = 0
+        if bad:
+            print(f"Scene {scan_id}: filtered {bad} bad frames.")
+
+        if store_computed:
+            try:
+                os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+                with open(cache_path, "w") as f:
+                    f.write("\n".join(valid_frames) + "\n")
+            except OSError as e:
+                print(f"couldn't save valid_frames at {cache_path}: {e}")
+        return valid_frames
+
+    def _frame_is_bad(self, scan_id: str, frame_id) -> bool:
+        """True when the frame's color or depth render is anomalous or its
+        pose is non-finite (hypersim_dataset.py:237-266)."""
+        from PIL import Image
+
+        scene, cam = self._scene_cam(scan_id)
+        img_path = os.path.join(self._image_dir(scan_id),
+                                f"scene_{cam}_final_preview",
+                                f"frame.{int(frame_id):04d}.tonemap.jpg")
+        if image_is_anomalous(np.asarray(Image.open(img_path))):
+            return True
+        if image_is_anomalous(self._depth_h5(scan_id, frame_id)):
+            return True
+        world_T_cam, _ = self.load_pose(scan_id, frame_id)
+        return not np.isfinite(world_T_cam).all()
 
     # ---- camera parameters ------------------------------------------------
     def _params(self, scan_id: str) -> dict:
@@ -206,8 +263,11 @@ class HypersimDataset(GenericMVSDataset):
         return perpendicular_depth_from_distance(distance, rays)
 
     def _mask_invalid(self, depth):
-        invalid = ~((depth > self.min_valid_depth) & (depth < self.max_valid_depth)
-                    & np.isfinite(depth))
+        if self.use_min_max_depth:
+            invalid = ~((depth > self.min_valid_depth) & (depth < self.max_valid_depth)
+                        & np.isfinite(depth))
+        else:
+            invalid = ~np.isfinite(depth)
         depth = depth.copy()
         depth[invalid] = np.nan
         return depth

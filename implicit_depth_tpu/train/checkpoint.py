@@ -1,4 +1,9 @@
-"""Checkpointing: Orbax save/restore + torch-checkpoint conversion.
+"""Checkpointing: msgpack save/restore + torch-checkpoint conversion.
+
+The store is a dependency-light flax-serialization msgpack format (one
+`state.msgpack` + `meta.json` per step directory) rather than Orbax: the
+state trees here are replicated (no sharded-array saves needed yet) and
+async writes are a single daemon thread.
 
 Replaces the Lightning ModelCheckpoint stack (train_bd.py:131-137,
 bd_model.py:41 save_hyperparameters, train_bd.py:43-58 lazy loading,
@@ -55,6 +60,9 @@ class CheckpointManager:
         self.async_write = async_write
         self._entries: list[tuple[float, str]] = []
         self._pending: Optional[threading.Thread] = None
+        # paths evicted from top-k that cannot be deleted yet because they
+        # are the in-flight write and/or the current `last` target
+        self._deferred_prune: list[str] = []
         os.makedirs(directory, exist_ok=True)
 
     def _better(self, a: float, b: float) -> bool:
@@ -80,12 +88,11 @@ class CheckpointManager:
         else:
             save_state(path, state, config=config, metrics=metrics)
 
+        evicted: list[str] = []
         if metrics and self.monitor in metrics:
             self._entries.append((float(metrics[self.monitor]), path))
             self._entries.sort(key=lambda e: e[0], reverse=(self.mode == "max"))
-            for _, stale in self._entries[self.save_top_k:]:
-                if os.path.isdir(stale):
-                    shutil.rmtree(stale, ignore_errors=True)
+            evicted = [p for _, p in self._entries[self.save_top_k:]]
             self._entries = self._entries[: self.save_top_k]
 
         last = os.path.join(self.directory, "last")
@@ -95,6 +102,17 @@ class CheckpointManager:
             else:
                 shutil.rmtree(last, ignore_errors=True)
         os.symlink(os.path.basename(path), last)
+
+        # The just-saved `path` may still be mid-write on the daemon thread
+        # and is always the `last` target, so it is never deleted in this
+        # call even if its metric fell outside top-k — it is deferred and
+        # pruned by a later save once `last` points elsewhere and wait()
+        # has joined its write.
+        to_prune = [p for p in self._deferred_prune + evicted if p != path]
+        self._deferred_prune = [p for p in evicted if p == path]
+        for stale in to_prune:
+            if os.path.isdir(stale):
+                shutil.rmtree(stale, ignore_errors=True)
         return path
 
     def best_path(self) -> Optional[str]:
@@ -134,6 +152,13 @@ def restore_state(path: str, state):
         batch_stats=restored["batch_stats"],
         opt_state=restored["opt_state"],
     )
+
+
+def peek_step(path: str) -> int:
+    """Reads the step counter recorded inside a checkpoint directory's
+    state.msgpack (it equals the training step at save by construction)."""
+    with open(os.path.join(path, "state.msgpack"), "rb") as f:
+        return int(serialization.msgpack_restore(f.read())["step"])
 
 
 def load_meta(path: str) -> dict:

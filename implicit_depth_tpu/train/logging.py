@@ -83,7 +83,8 @@ def copy_code_state(dest: str, root: str | None = None) -> None:
         )
 
     for dirpath, dirnames, filenames in os.walk(root):
-        if os.path.abspath(dirpath).startswith(dest_abs):
+        dp_abs = os.path.abspath(dirpath)
+        if dp_abs == dest_abs or dp_abs.startswith(dest_abs + os.sep):
             dirnames[:] = []  # never descend into our own snapshot
             continue
         rel_dir = os.path.relpath(dirpath, root)

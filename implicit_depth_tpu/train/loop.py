@@ -78,6 +78,8 @@ def build_dataset(cfg: Config, split: str, kind: str, limit_to_scan_id=None,
         skip_frames=cfg.skip_frames,
         include_full_res_depth=cfg.high_res_validation,
     )
+    if cfg.dataset == "hypersim":
+        kwargs["use_min_max_depth"] = cfg.use_min_max_depth
     if cfg.dataset == "synthetic":
         for k in ("mv_tuple_file_suffix", "tuple_info_file_location",
                   "num_images_in_tuple", "limit_to_scan_id", "skip_frames"):
@@ -133,14 +135,14 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
     # the index level (+1 for the init batch drawn below)
     resume_step = 0
     if cfg.resume:
-        import json as _json
-
-        with open(os.path.join(cfg.resume, "state.msgpack"), "rb"):
-            pass  # existence check; the state itself is restored below
         try:
-            resume_step = int(ckpt_lib.load_meta(cfg.resume)["metrics"].get("step", 0))
-        except Exception:
-            resume_step = 0
+            resume_step = int(ckpt_lib.load_meta(cfg.resume)["metrics"]["step"])
+        except (OSError, KeyError, ValueError, TypeError):
+            # older/hand-built checkpoints lack the meta step; the state's
+            # own step counter equals it by construction
+            resume_step = ckpt_lib.peek_step(cfg.resume)
+            print(f"resume: meta.json lacks 'step'; deriving data-order "
+                  f"offset from state.step={resume_step}")
     loader = BatchLoader(train_ds, cfg.batch_size, num_workers=cfg.num_workers,
                          seed=cfg.random_seed, start_batch=resume_step)
     val_loader = BatchLoader(val_ds, cfg.val_batch_size, shuffle=False,

@@ -19,8 +19,22 @@ from implicit_depth_tpu.utils.io import read_image
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--images_dir", required=True, help="captured RGB frames (*.png/jpg)")
-    p.add_argument("--virtual_dir", required=True, help="rendered RGBA layers (*.png)")
+    p.add_argument("--vdr_dir", default=None,
+                   help="raw VDR capture dir with capture.json; composites "
+                        "end-to-end (inference/composite.py main())")
+    p.add_argument("--out_dir", default="composited",
+                   help="output dir for per-frame composites + mp4 (capture mode)")
+    p.add_argument("--predicted_masks_dir", default=None,
+                   help="sigma mattes <frame-number>.npy (capture mode, mask matting)")
+    p.add_argument("--predicted_depths_dir", default=None,
+                   help="predicted depth <frame-number>.npy (capture mode, depth matting)")
+    p.add_argument("--renders_dir", default=None,
+                   help="rendered virtual layers frame_XXXXX.png/.npy; a flat "
+                        "teal 2 m plane when absent")
+    p.add_argument("--fadein", action="store_true")
+    p.add_argument("--limit_frames", type=int, default=None)
+    p.add_argument("--images_dir", default=None, help="captured RGB frames (*.png/jpg)")
+    p.add_argument("--virtual_dir", default=None, help="rendered RGBA layers (*.png)")
     p.add_argument("--mattes_dir", default=None, help="predicted occlusion mattes (*.npy)")
     p.add_argument("--real_depth_dir", default=None, help="real depth .npy (depth/lidar modes)")
     p.add_argument("--virtual_depth_dir", default=None, help="virtual depth .npy")
@@ -29,6 +43,25 @@ def main():
     p.add_argument("--fps", type=int, default=30)
     args = p.parse_args()
 
+    if args.vdr_dir:
+        from implicit_depth_tpu.apps.composite import composite_capture
+
+        if args.predicted_masks_dir and args.predicted_depths_dir:
+            p.error("give either --predicted_masks_dir or --predicted_depths_dir, not both")
+        mode = ("mask" if args.predicted_masks_dir
+                else "depth" if args.predicted_depths_dir else "lidar")
+        mp4 = composite_capture(
+            args.vdr_dir, args.out_dir, mode=mode,
+            predicted_masks_dir=args.predicted_masks_dir,
+            predicted_depths_dir=args.predicted_depths_dir,
+            renders_dir=args.renders_dir, fadein=args.fadein,
+            limit_frames=args.limit_frames, fps=args.fps,
+        )
+        print(f"wrote {mp4}")
+        return
+
+    if not args.images_dir or not args.virtual_dir:
+        p.error("either --vdr_dir or both --images_dir/--virtual_dir are required")
     names = sorted(os.path.splitext(f)[0] for f in os.listdir(args.images_dir)
                    if f.lower().endswith((".png", ".jpg", ".jpeg")))
     images, virtuals, mattes, rdepths, vdepths = [], [], None, None, None

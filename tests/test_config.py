@@ -42,3 +42,27 @@ def test_save_roundtrip(tmp_path):
     cfg_lib.save_config(cfg, path)
     loaded = cfg_lib.merge_dict(cfg_lib.Config(), cfg_lib.load_yaml_options(path))
     assert loaded.name == "x" and loaded.lr == 5e-4
+
+
+def test_all_shipped_configs_load():
+    """Every YAML under configs/ parses through parse_and_merge — the
+    documented entry points of the reference README (reference
+    configs/models/*, configs/data/*)."""
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    models = sorted(glob.glob(os.path.join(root, "configs/models/*.yaml")))
+    datas = sorted(glob.glob(os.path.join(root, "configs/data/*.yaml")))
+    assert len(models) >= 7 and len(datas) >= 17
+    for m in models:
+        for d in datas:
+            cfg = cfg_lib.parse_and_merge(argv=[], config_filepaths=[m, d])
+            assert cfg.num_images_in_tuple in (None, 8)
+    # hypersim test config switches the min/max depth masking on
+    cfg = cfg_lib.parse_and_merge(
+        argv=[], config_filepaths=[
+            os.path.join(root, "configs/models/implicit_depth_hypersim.yaml"),
+            os.path.join(root, "configs/data/hypersim_default_test.yaml")])
+    assert cfg.use_min_max_depth and cfg.dataset == "hypersim"
+    assert cfg.val_interval == 400 and cfg.bd_edge_regularision is False

@@ -4,6 +4,7 @@ Validates the full path data -> warp/volume -> decoder -> ray head ->
 loss -> optimizer actually learns (the reference has no equivalent;
 SURVEY.md §4 gap)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -12,6 +13,8 @@ from implicit_depth_tpu.data.mvs_dataset import BDSamplingConfig, collate
 from implicit_depth_tpu.data.synthetic import SyntheticDataset
 from implicit_depth_tpu.models.bd_net import BDNet
 from implicit_depth_tpu.train import state as state_lib
+
+pytestmark = pytest.mark.slow
 
 
 def test_bd_training_reduces_loss():

@@ -23,6 +23,8 @@ from implicit_depth_tpu.core import geometry
 from implicit_depth_tpu.models.bd_net import BDNet
 from implicit_depth_tpu.train import checkpoint as ckpt
 
+pytestmark = pytest.mark.slow
+
 
 IMG_H, IMG_W = 96, 128
 # the reference's FeatureVolumeManager hardcodes 7 source views (202-ch

@@ -7,6 +7,7 @@ ray metadata in closed form rather than through (k,d,h,w,3) tensors, so
 bit-equality is not expected). Runs in interpret mode on CPU.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -14,6 +15,8 @@ import jax.numpy as jnp
 from implicit_depth_tpu.core import geometry
 from implicit_depth_tpu.models.volume_mlp import MetadataVolumeMLP
 from implicit_depth_tpu.volumes.cost_volume import build_warped_views
+
+pytestmark = pytest.mark.slow
 
 
 def _setup(seed=0, b=1, k=2, h=16, w=48, c=16, d=8):

@@ -7,6 +7,7 @@ unsharded loss (VERDICT r1 item 7). Runs on the 8-device virtual CPU
 mesh from conftest.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -14,6 +15,8 @@ import jax.numpy as jnp
 from implicit_depth_tpu.parallel import mesh as mesh_lib
 from implicit_depth_tpu.parallel.sharded_warp import sharded_warp, warp_planes_xla
 from tests.test_warp_kernel import _setup
+
+pytestmark = pytest.mark.slow
 
 
 def _flat_inputs(B=4, K=2, H=16, W=128, C=8, D=8):

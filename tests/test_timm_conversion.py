@@ -11,6 +11,7 @@ released checkpoints become obtainable, these same converter tables load
 them (reference: experiment_modules/bd_model.py:46-68).
 """
 
+import pytest
 import numpy as np
 import torch
 import torch.nn as nn
@@ -21,6 +22,8 @@ import jax.numpy as jnp
 
 from implicit_depth_tpu.models.image_encoders import EfficientNetV2S, ResNet18D
 from implicit_depth_tpu.train import checkpoint as ckpt
+
+pytestmark = pytest.mark.slow
 
 
 def _pad_same(x, k, s):

@@ -10,6 +10,8 @@ from implicit_depth_tpu.models.depth_net import DepthNet
 from implicit_depth_tpu.parallel import mesh as mesh_lib
 from implicit_depth_tpu.train import state as state_lib
 
+pytestmark = pytest.mark.slow
+
 B, K = 2, 2
 H, W = 32, 64
 HD, WD = 16, 32
