@@ -49,6 +49,32 @@ def _baseline_fps() -> float | None:
         return None
 
 
+# dense bf16 peak FLOP/s by device kind (MFU denominator)
+_CHIP_PEAKS = {"TPU v5 lite": 197e12, "TPU v5": 459e12, "TPU v4": 275e12}
+
+
+def _peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind
+    for name, peak in _CHIP_PEAKS.items():
+        if kind.startswith(name):
+            return peak
+    return None
+
+
+def _time_fn(jfn, args, iters: int) -> float:
+    """Steady-state seconds/call. TPU execution is in-order, so timing N
+    dispatches + one final scalar readback measures true latency (under
+    the axon tunnel block_until_ready can return early)."""
+    for _ in range(WARMUP):
+        out = jfn(*args)
+    _ = float(jax.tree.leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = jfn(*args)
+    _ = float(jax.tree.leaves(out)[0])
+    return (time.perf_counter() - t0) / iters
+
+
 def main() -> None:
     from __graft_entry__ import entry
 
@@ -58,32 +84,52 @@ def main() -> None:
     cur = jax.device_put(cur, dev)
     src = jax.device_put(src, dev)
 
-    # NOTE: under the axon tunnel block_until_ready can return before the
-    # computation finishes; a scalar readback is the only reliable sync.
-    # TPU execution is in-order, so timing N dispatches + one final
-    # readback measures true per-step latency.
     jfn = jax.jit(lambda v, c, s: jax.tree.map(
         lambda x: jnp.sum(x.astype(jnp.float32)), fn(v, c, s)))
 
-    for _ in range(WARMUP):
-        out = jfn(variables, cur, src)
-    _ = float(jax.tree.leaves(out)[0])
+    # b=1 latency point (the reference's model_time protocol) + FLOPs
+    dt1 = _time_fn(jfn, (variables, cur, src), ITERS)
+    fps1 = 1.0 / dt1
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = jfn(variables, cur, src)
-    _ = float(jax.tree.leaves(out)[0])
-    dt = (time.perf_counter() - t0) / ITERS
+    mfu = None
+    try:
+        cost = jfn.lower(variables, cur, src).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        peak = _peak_flops()
+        if flops and peak:
+            mfu = round(100.0 * flops / dt1 / peak, 2)
+    except Exception:
+        pass
 
-    batch = cur["image"].shape[0]
-    fps = batch / dt
+    # throughput sweep (VERDICT r2 item 1b): the chip's best operating
+    # point, not just the b=1 latency point
+    sweep = {1: round(fps1, 2)}
+    for b in (4, 8):
+        try:
+            cur_b = jax.device_put(
+                jax.tree.map(lambda x: jnp.repeat(x, b, 0), cur), dev)
+            src_b = jax.device_put(
+                jax.tree.map(lambda x: jnp.repeat(x, b, 0), src), dev)
+            dt = _time_fn(jfn, (variables, cur_b, src_b), max(ITERS // 3, 10))
+            sweep[b] = round(b / dt, 2)
+        except Exception:
+            sweep[b] = None
+    best_b = max((b for b in sweep if sweep[b]), key=lambda b: sweep[b])
+
     base = _baseline_fps()
     print(json.dumps({
         "metric": "bd_eval_frames_per_sec",
-        "value": round(fps, 2),
+        "value": round(fps1, 2),
         "unit": "frames/s",
         # measured PyTorch-reference-on-host-CPU denominator (see docstring)
-        "vs_baseline": round(fps / base, 2) if base else None,
+        "vs_baseline": round(fps1 / base, 2) if base else None,
+        "latency_ms_b1": round(dt1 * 1000.0, 2),
+        "mfu_pct_b1": mfu,
+        "throughput_sweep_fps": {str(b): v for b, v in sweep.items()},
+        "best_batch": best_b,
+        "best_fps": sweep[best_b],
     }))
 
 

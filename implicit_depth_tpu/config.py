@@ -71,6 +71,14 @@ class Config:
     num_rays: int = 4096
     samples_per_ray: int = 64
 
+    # ---- distributed (multi-host, SURVEY §2.6; reference: DDP over any
+    # #GPUs, train_bd.py:145-159). On TPU pods the runtime provides the
+    # cluster topology and the address/count/id fields stay None.
+    jax_distributed: bool = False
+    coordinator_address: Optional[str] = None
+    distributed_num_processes: Optional[int] = None
+    distributed_process_id: Optional[int] = None
+
     # ---- models
     resume: Optional[str] = None
     load_weights_from_checkpoint: Optional[str] = None

@@ -42,7 +42,12 @@ class BatchLoader:
         device_put_fn: Optional[Callable] = None,
         epochs: Optional[int] = None,  # None = loop forever
         start_batch: int = 0,          # deterministic resume offset
+        shard_id: int = 0,             # multi-host: this process's shard
+        num_shards: int = 1,           # multi-host: process count
     ):
+        assert batch_size % num_shards == 0, (
+            f"global batch {batch_size} not divisible by {num_shards} shards")
+        assert 0 <= shard_id < num_shards
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -53,6 +58,8 @@ class BatchLoader:
         self.epochs = epochs
         self.seed = seed
         self.start_batch = start_batch
+        self.shard_id = shard_id
+        self.num_shards = num_shards
         self._stop = threading.Event()
         self._produced = 0
         self._starved_s = 0.0
@@ -84,11 +91,15 @@ class BatchLoader:
         while self.epochs is None or epoch < self.epochs:
             order = self._epoch_order(epoch)
             stop = n - (n % self.batch_size) if self.drop_last else n
+            per = self.batch_size // self.num_shards
             for s in range(0, stop, self.batch_size):
                 if skip > 0:  # resume: skip at the index level, load nothing
                     skip -= 1
                     continue
-                yield order[s : s + self.batch_size]
+                # multi-host: every process walks the SAME global batch
+                # order but loads only its contiguous slice of each batch
+                idxs = order[s : s + self.batch_size]
+                yield idxs[self.shard_id * per : (self.shard_id + 1) * per]
             epoch += 1
 
     def __iter__(self) -> Iterator:

@@ -6,20 +6,136 @@ is anchored at the current camera; each frame queries the model with the
 rendered plane depth, feeding back the previous sigmoid map + pose as
 the temporal prior; visible GT-mesh vertices collect binarised
 predictions and flips are counted per window.
+
+Pipeline (VERDICT r2 item 7). Sequential dense tuples share 6-7 of their
+8 frames, so the driver keeps a device-resident per-frame image cache:
+each frame's RGB crosses the host->device link ONCE (bf16 on TPU) and
+the 8-view source stack is assembled on device. A background thread
+decodes the next tuple's new frames while the device computes, and the
+host-side vertex-visibility update for frame i-1 (C++ rasterize +
+sampling, the host floor at ~0.15 s / 1M faces) runs while the TPU
+executes frame i's forward. Steady-state rate ~= max(vertex update,
+new-frame decode+upload), not their sum plus a 20 MB tuple re-upload.
 """
 
 from __future__ import annotations
 
+import threading
 import time
+from collections import OrderedDict
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from implicit_depth_tpu.data.mvs_dataset import collate
+from implicit_depth_tpu.data.keyframes import pose_distance_np
 from implicit_depth_tpu.eval.temporal import TemporalEvaluator
 from implicit_depth_tpu.models.bd_net import BDNet
+
+# keys a forward_val / regression step actually consumes (fixed pytree
+# structure across frames — anything else would force retraces)
+_CUR_KEYS = ("world_T_cam", "cam_T_world", "K_s0", "invK_s0", "K_s1", "invK_s1")
+_SRC_KEYS = ("world_T_cam", "cam_T_world", "K_s0", "K_s1")
+
+
+class _TupleStager:
+    """Decode-once / upload-once tuple assembly for sequential eval.
+
+    Host LRU: frame_id -> the dataset's per-frame dict (decode cost paid
+    once per frame, not once per tuple membership). Device LRU:
+    frame_id -> committed image array (upload paid once). `prefetch(i)`
+    decodes tuple i's missing frames on a background thread.
+    """
+
+    def __init__(self, dataset, dtype=jnp.float32, capacity: int = 64):
+        self.ds = dataset
+        self.dtype = dtype
+        self.capacity = capacity
+        self._host: OrderedDict = OrderedDict()
+        self._dev: OrderedDict = OrderedDict()
+        self._thread: Optional[threading.Thread] = None
+        self._device = jax.devices()[0]
+
+    def _tuple_ids(self, idx: int) -> tuple[str, list]:
+        scan_id, *frame_ids = self.ds.frame_tuples[idx].split(" ")
+        if self.ds.num_images_in_tuple is not None:
+            frame_ids = frame_ids[: self.ds.num_images_in_tuple]
+        return scan_id, frame_ids
+
+    def _host_frame(self, scan_id: str, fid) -> dict:
+        key = (scan_id, fid)
+        if key not in self._host:
+            self._host[key] = self.ds.get_frame(scan_id, fid, flip=False,
+                                                bd_info=False)
+            while len(self._host) > self.capacity:
+                self._host.popitem(last=False)
+        else:
+            self._host.move_to_end(key)
+        return self._host[key]
+
+    def _dev_image(self, scan_id: str, fid) -> jax.Array:
+        key = (scan_id, fid)
+        if key not in self._dev:
+            img = self._host_frame(scan_id, fid)["image"].astype(self.dtype)
+            self._dev[key] = jax.device_put(jnp.asarray(img), self._device)
+            while len(self._dev) > self.capacity:
+                self._dev.popitem(last=False)
+        else:
+            self._dev.move_to_end(key)
+        return self._dev[key]
+
+    def prefetch(self, idx: int) -> None:
+        """Decodes tuple idx's frames on a background thread (PIL/numpy
+        release the GIL for the heavy parts)."""
+        if idx >= len(self.ds.frame_tuples):
+            return
+        self.join()
+        scan_id, ids = self._tuple_ids(idx)
+
+        def work():
+            for fid in ids:
+                self._host_frame(scan_id, fid)
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def get(self, idx: int) -> tuple[dict, dict, np.ndarray]:
+        """-> (cur_device_dict, src_device_dict, cur_depth_host_hw).
+
+        Source views are DVMVS-pose-ordered like
+        GenericMVSDataset.__getitem__; images are assembled on device
+        from the cache."""
+        self.join()
+        scan_id, ids = self._tuple_ids(idx)
+        frames = [self._host_frame(scan_id, fid) for fid in ids]
+        cur_h, src_h = frames[0], frames[1:]
+        src_ids = ids[1:]
+
+        pens = [
+            pose_distance_np(
+                np.eye(4),
+                cur_h["cam_T_world"].astype(np.float64) @ s["world_T_cam"].astype(np.float64),
+            )[0]
+            for s in src_h
+        ]
+        order = np.argsort(pens)
+        src_h = [src_h[i] for i in order]
+        src_ids = [src_ids[i] for i in order]
+
+        cur = {k: jnp.asarray(cur_h[k])[None] for k in _CUR_KEYS}
+        cur["image"] = self._dev_image(scan_id, ids[0])[None]
+        cur["depth"] = jnp.asarray(cur_h["depth"])[None]
+        src = {k: jnp.asarray(np.stack([s[k] for s in src_h]))[None]
+               for k in _SRC_KEYS}
+        src["image"] = jnp.stack(
+            [self._dev_image(scan_id, fid) for fid in src_ids])[None]
+        return cur, src, cur_h["depth"][..., 0]
 
 
 def evaluate_temporal(
@@ -52,23 +168,29 @@ def evaluate_temporal(
             out = net.apply(variables, cur, src, method=BDNet.forward_val)
             return jax.nn.sigmoid(sigmoid_multiplier * out["pred_0"].astype(jnp.float32))
 
+    on_tpu = jax.default_backend() not in ("cpu",)
     frame_times: list = []
     for scene_id, ds in datasets_by_scene.items():
         ev.initialise_new_scene(gt_mesh_path=mesh_paths_by_scene[scene_id])
+        stager = _TupleStager(ds, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
         prior_pred = None
         prior_pose = None
+        # deferred vertex update: frame i-1's host-side rasterize+sample
+        # runs while the device executes frame i's forward
+        pending: Optional[tuple] = None
         n = len(ds) if max_frames_per_scene is None else min(len(ds), max_frames_per_scene)
+        stager.prefetch(0)
         for i in range(n):
             t_frame = time.perf_counter()
-            cur, src = collate([ds[i]])
-            cur = {k: jnp.asarray(v) for k, v in cur.items() if k != "frame_id_string"}
-            src = {k: jnp.asarray(v) for k, v in src.items() if k != "frame_id_string"}
+            cur, src, depth_host = stager.get(i)
 
             if i % eval_length == 0:
+                if pending is not None:
+                    ev.update_vertex_predictions(*pending)
+                    pending = None
                 if i > 0:
                     ev.compute_vertex_occlusion_changes()
-                depth_np = np.asarray(cur["depth"])[0, ..., 0]
-                ev.initialise_new_plane(depth_np, np.asarray(cur["world_T_cam"])[0])
+                ev.initialise_new_plane(depth_host, np.asarray(cur["world_T_cam"])[0])
                 # -1 is the model's invalid-prior sentinel (sample_prior
                 # output); an all--1 prior with the current pose is the
                 # no-prior case without switching the jitted program's
@@ -86,15 +208,22 @@ def evaluate_temporal(
                 cur["prior_prediction"] = prior_pred
                 cur["prior_cam_T_world"] = prior_pose
 
-            pred = step(variables, cur, src)  # (1, h, w, 1)
-            pred_np = np.asarray(pred)[0, ..., 0]
-            ev.update_vertex_predictions(pred_np, np.asarray(cur["cam_T_world"])[0],
-                                         np.asarray(cur["K_s0"])[0])
+            pred = step(variables, cur, src)  # async dispatch, (1, h, w, 1)
+            # overlap the TPU forward with host work: decode of the next
+            # tuple's new frames + frame i-1's vertex-visibility update
+            stager.prefetch(i + 1)
+            if pending is not None:
+                ev.update_vertex_predictions(*pending)
+            pred_np = np.asarray(pred)[0, ..., 0]  # sync
+            pending = (pred_np, np.asarray(cur["cam_T_world"])[0],
+                       np.asarray(cur["K_s0"])[0])
             prior_pred = pred
             prior_pose = cur["cam_T_world"]
-            # wall time of the full per-frame pipeline (decode + plane
-            # render + model forward + rasterise + vertex update)
+            # wall time of the full per-frame pipeline (staging + plane
+            # render + model forward + overlapped rasterise/vertex update)
             frame_times.append(time.perf_counter() - t_frame)
+        if pending is not None:
+            ev.update_vertex_predictions(*pending)
         ev.compute_vertex_occlusion_changes()
 
     score = ev.temporal_score(len(datasets_by_scene), eval_length, warmup, frame_multiplier)

@@ -123,6 +123,16 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
         log_cb: Optional[Callable] = None) -> state_lib.TrainState:
     """Runs training end-to-end; returns the final state."""
     max_steps = max_steps or cfg.max_steps
+    if cfg.jax_distributed:
+        # multi-host: join the cluster BEFORE any device query; the mesh
+        # below then spans every process's chips (SURVEY §2.6)
+        from implicit_depth_tpu.parallel import distributed as dist
+
+        dist.initialize(cfg.coordinator_address,
+                        cfg.distributed_num_processes,
+                        cfg.distributed_process_id)
+    pid, pcount = jax.process_index(), jax.process_count()
+    is_main = pid == 0
     mesh = mesh_lib.make_mesh()
     n_dev = mesh.devices.size
 
@@ -143,10 +153,14 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
             resume_step = ckpt_lib.peek_step(cfg.resume)
             print(f"resume: meta.json lacks 'step'; deriving data-order "
                   f"offset from state.step={resume_step}")
+    # each process loads its contiguous slice of every global batch (the
+    # DataLoader-per-rank contract of the reference's DDP, train_bd.py:84-114)
     loader = BatchLoader(train_ds, cfg.batch_size, num_workers=cfg.num_workers,
-                         seed=cfg.random_seed, start_batch=resume_step)
+                         seed=cfg.random_seed, start_batch=resume_step,
+                         shard_id=pid, num_shards=pcount)
     val_loader = BatchLoader(val_ds, cfg.val_batch_size, shuffle=False,
-                             num_workers=cfg.num_workers, epochs=1)
+                             num_workers=cfg.num_workers, epochs=1,
+                             shard_id=pid, num_shards=pcount)
 
     # ---- init / restore
     it = iter(loader)
@@ -175,6 +189,16 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
     state = jax.device_put(state, mesh_lib.replicated(mesh))
     bshard = mesh_lib.batch_sharding(mesh)
 
+    if pcount > 1:
+        from implicit_depth_tpu.parallel import distributed as dist
+
+        def put_batch(tree):
+            # assemble per-process host slices into one global jax.Array
+            return dist.global_batch(mesh, tree)
+    else:
+        def put_batch(tree):
+            return jax.device_put(tree, bshard)
+
     if kind == "bd":
         step_fn = jax.jit(state_lib.make_bd_train_step(
             net,
@@ -185,16 +209,18 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
     else:
         step_fn = jax.jit(state_lib.make_regression_train_step(net, dataset=cfg.dataset))
 
-    # ---- logging, snapshot, checkpoints
-    logger = ExperimentLogger(cfg.log_dir, cfg.name)
-    try:
-        copy_code_state(os.path.join(logger.dir, "code"))
-    except Exception as e:
-        print(f"code snapshot failed: {e}")
+    # ---- logging, snapshot, checkpoints (rank 0 only, like Lightning)
+    logger = mgr = None
     monitor, mode = ("val/harmonic_iou", "max") if kind == "bd" else ("val/loss", "min")
-    # async: serialisation + disk write happen off the training thread
-    mgr = ckpt_lib.CheckpointManager(os.path.join(logger.dir, "checkpoints"),
-                                     monitor=monitor, mode=mode, async_write=True)
+    if is_main:
+        logger = ExperimentLogger(cfg.log_dir, cfg.name)
+        try:
+            copy_code_state(os.path.join(logger.dir, "code"))
+        except Exception as e:
+            print(f"code snapshot failed: {e}")
+        # async: serialisation + disk write happen off the training thread
+        mgr = ckpt_lib.CheckpointManager(os.path.join(logger.dir, "checkpoints"),
+                                         monitor=monitor, mode=mode, async_write=True)
     cfg_dict = dataclasses.asdict(cfg)
 
     rng = jax.random.PRNGKey(cfg.random_seed + 2)
@@ -234,14 +260,13 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
             if bi >= cfg.val_batches:
                 break
             cur, src = _batch_to_jnp(batch)
-            cur = jax.device_put(cur, bshard)
-            src = jax.device_put(src, bshard)
+            cur, src = put_batch((cur, src))
             variables = {"params": state.params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
             metrics, pred = val_step(variables, cur, src)
             vmetrics.append({k: float(v) for k, v in metrics.items()})
-            if kind == "bd" and bi == 0:
+            if kind == "bd" and bi == 0 and logger is not None and pcount == 1:
                 _log_bd_panels(logger, int(state.step), cur, pred)
         if not vmetrics:
             return {}
@@ -252,9 +277,7 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
     batch = first
     step_i = int(state.step)
     while step_i < max_steps:
-        cur, src = batch
-        cur = jax.device_put(cur, bshard)
-        src = jax.device_put(src, bshard)
+        cur, src = put_batch(batch)
         rng, sub = jax.random.split(rng)
         state, losses = step_fn(state, (cur, src), sub)
         step_i = int(state.step)
@@ -264,17 +287,19 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
             scalars["train/steps_per_sec"] = cfg.log_interval / max(time.time() - t0, 1e-9)
             scalars.update({f"data/{k}": float(v) for k, v in loader.stats().items()})
             t0 = time.time()
-            logger.log_scalars(step_i, scalars)
+            if logger is not None:
+                logger.log_scalars(step_i, scalars)
             if log_cb:
                 log_cb(step_i, scalars)
 
         if step_i % cfg.val_interval == 0 or step_i >= max_steps:
             vm = run_validation(state)
-            if vm:
+            if vm and logger is not None:
                 logger.log_scalars(step_i, vm)
             vm = dict(vm or {monitor: 0.0})
             vm["step"] = step_i  # recorded for deterministic data resume
-            mgr.save(state, config=cfg_dict, metrics=vm)
+            if mgr is not None:
+                mgr.save(state, config=cfg_dict, metrics=vm)
 
         try:
             batch = _batch_to_jnp(next(it))
@@ -283,6 +308,8 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
             batch = _batch_to_jnp(next(it))
 
     loader.stop()
-    mgr.wait()  # join the in-flight async checkpoint write
-    logger.close()
+    if mgr is not None:
+        mgr.wait()  # join the in-flight async checkpoint write
+    if logger is not None:
+        logger.close()
     return state

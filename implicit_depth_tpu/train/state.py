@@ -75,11 +75,14 @@ def make_bd_train_step(
     regularisation_weight: float = 0.5,
     edge_regularisation: bool = True,
     train_flip: bool = True,
+    forward_only: bool = False,
 ) -> Callable:
     """Builds the BD training step (bd_model.py:647-694).
 
     batch = (cur_data, src_data) with cur_data carrying gt_depth,
     sampled_rays, sampled_depths (see BDNet docstring).
+    forward_only=True evaluates the loss without grads/update — the
+    profiling probe of scripts/profile_train.py, not a training mode.
     """
 
     def step(state: TrainState, batch, rng) -> tuple[TrainState, dict]:
@@ -126,6 +129,9 @@ def make_bd_train_step(
             new_bs = mutated.get("batch_stats", state.batch_stats)
             return losses["loss"], (new_bs, losses)
 
+        if forward_only:
+            _, (_, losses) = loss_fn(state.params)
+            return state, losses
         (loss, (new_bs, losses)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, new_bs)
         return new_state, losses

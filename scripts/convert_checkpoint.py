@@ -26,6 +26,41 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def install_options_shim() -> None:
+    """Makes `options.Options` unpicklable checkpoints loadable: the
+    released .ckpts embed a pickled reference `options.Options` instance
+    in hyper_parameters (bd_model.py:41 save_hyperparameters), and
+    unpickling needs that class importable. The shim restores the
+    instance's attribute dict without the reference package."""
+    import types
+
+    if "options" in sys.modules:
+        return
+
+    class Options:
+        pass
+
+    mod = types.ModuleType("options")
+    mod.Options = Options
+    sys.modules["options"] = mod
+
+
+def opts_to_dict(hparams) -> dict:
+    """hyper_parameters -> plain JSON-serialisable dict of option fields."""
+    if hasattr(hparams, "get") and "opts" in hparams:
+        hparams = hparams["opts"]
+    src = getattr(hparams, "__dict__", None) or (
+        hparams if isinstance(hparams, dict) else {})
+    out = {}
+    for k, v in src.items():
+        if isinstance(v, (bool, int, float, str, type(None))):
+            out[k] = v
+        elif isinstance(v, (list, tuple)) and all(
+                isinstance(x, (bool, int, float, str)) for x in v):
+            out[k] = list(v)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="reference .ckpt path")
@@ -39,6 +74,7 @@ def main():
 
     from implicit_depth_tpu.train import checkpoint as ckpt_lib
 
+    install_options_shim()
     payload = torch.load(args.input, map_location="cpu", weights_only=False)
     sd = payload.get("state_dict", payload)
     hparams = payload.get("hyper_parameters", {})
@@ -53,8 +89,12 @@ def main():
         params, stats = ckpt_lib.convert_reference_depth_checkpoint(sd)
     variables = {"params": params, "batch_stats": stats}
     n = sum(x.size for x in __import__("jax").tree.leaves(variables))
+    # "opts-in-checkpoint": the reference restores eval options from the
+    # ckpt's hyper_parameters (test_bd.py:74-79); the sidecar .json keeps
+    # them consumable (scripts/weights_drill.py)
     ckpt_lib.save_params(args.output, variables,
-                         config={"hyper_parameters": repr(hparams)})
+                         config={"kind": kind,
+                                 "hyper_parameters": opts_to_dict(hparams)})
     print(f"wrote {args.output}: {n / 1e6:.1f}M params "
           f"(source {len(sd)} tensors)")
 

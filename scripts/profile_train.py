@@ -1,0 +1,118 @@
+"""Per-section profile of the BD training step (VERDICT r2 item 4).
+
+Ablation deltas at production shapes on the current device:
+
+  full        — the complete jitted train step (fwd + bwd + adamw)
+  fwd_only    — loss evaluation without gradients
+  zero_volume — full step with feature_volume_type=zero_cost_volume
+                (encoders + decoder + head fwd/bwd, no warp/metadata-MLP)
+
+  volume block (fwd+bwd+remat recompute) = full - zero_volume
+  backward+update                        = full - fwd_only
+
+Usage: python scripts/profile_train.py [--batch 12] [--remat] [--iters 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(REPO, ".cache", "jax_compile")
+)
+
+
+def _time_step(step, state, batch, rng, iters):
+    state2, losses = step(state, batch, rng)
+    float(losses["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state2, losses = step(state2, batch, rng)
+    float(losses["loss"])
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=12)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    from implicit_depth_tpu.models.bd_net import BDNet
+    from implicit_depth_tpu.train import state as state_lib
+    from implicit_depth_tpu.utils.fixtures import synthetic_bd_batch
+    from __graft_entry__ import _init_variables
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+
+    cur, src = synthetic_bd_batch(batch=1, with_train_keys=True)
+    cur = jax.tree.map(jnp.asarray, cur)
+    src = jax.tree.map(jnp.asarray, src)
+    init_net = BDNet(compute_dtype=jnp.bfloat16, train_bn=True)
+    variables = _init_variables(init_net, cur, src)
+    if args.batch > 1:
+        cur = jax.tree.map(lambda x: jnp.repeat(x, args.batch, 0), cur)
+        src = jax.tree.map(lambda x: jnp.repeat(x, args.batch, 0), src)
+    dev = jax.devices()[0]
+    variables, cur, src = jax.device_put((variables, cur, src), dev)
+    batch = (cur, src)
+    rng = jax.random.PRNGKey(0)
+    tx = state_lib.make_optimizer()
+
+    def make_state():
+        return jax.device_put(state_lib.create_train_state(variables, tx), dev)
+
+    results = {}
+
+    net = BDNet(compute_dtype=jnp.bfloat16, use_pallas_warp=on_tpu,
+                remat_volume=args.remat, train_bn=True)
+    step_full = jax.jit(state_lib.make_bd_train_step(net))
+    results["full"] = _time_step(step_full, make_state(), batch, rng, args.iters)
+    print(f"{'full step':>22}: {results['full']:8.1f} ms", flush=True)
+
+    # forward-only loss: the step's exact loss path without grads/update
+    step_fwd = jax.jit(state_lib.make_bd_train_step(net, forward_only=True))
+    results["fwd_only"] = _time_step(step_fwd, make_state(), batch, rng, args.iters)
+    print(f"{'fwd only':>22}: {results['fwd_only']:8.1f} ms", flush=True)
+
+    net_zero = BDNet(compute_dtype=jnp.bfloat16, use_pallas_warp=on_tpu,
+                     feature_volume_type="zero_cost_volume", train_bn=True)
+    init_zero = BDNet(compute_dtype=jnp.bfloat16,
+                      feature_volume_type="zero_cost_volume", train_bn=True)
+    vars_zero = _init_variables(init_zero, jax.tree.map(lambda x: x[:1], cur),
+                                jax.tree.map(lambda x: x[:1], src))
+    vars_zero = jax.device_put(vars_zero, dev)
+    state_zero = jax.device_put(
+        state_lib.create_train_state(vars_zero, tx), dev)
+    step_zero = jax.jit(state_lib.make_bd_train_step(net_zero))
+    results["zero_volume"] = _time_step(step_zero, state_zero, batch, rng, args.iters)
+    print(f"{'zero-volume step':>22}: {results['zero_volume']:8.1f} ms", flush=True)
+
+    print("\nderived sections:")
+    vol = results["full"] - results["zero_volume"]
+    print(f"{'volume block (f+b)':>22}: {vol:8.1f} ms")
+    if "fwd_only" in results:
+        print(f"{'bwd + update':>22}: {results['full'] - results['fwd_only']:8.1f} ms")
+    print(f"{'conv stacks (f+b)':>22}: {results['zero_volume']:8.1f} ms (incl. heads)")
+    per = results["full"] / args.batch
+    print(f"\nbatch={args.batch} remat={args.remat}: "
+          f"{results['full']:.1f} ms/step = {per:.1f} ms/sample "
+          f"({1000 * args.batch / results['full']:.1f} samples/s)")
+    if args.json:
+        print(json.dumps({"batch": args.batch, "remat": args.remat, **results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,10 +22,22 @@ from implicit_depth_tpu.train.loop import build_dataset, build_net
 
 def main():
     cfg = parse_and_merge()
+    if cfg.jax_distributed:
+        from implicit_depth_tpu.parallel import distributed as dist
+
+        dist.initialize(cfg.coordinator_address, cfg.distributed_num_processes,
+                        cfg.distributed_process_id)
     net = build_net(cfg, "bd", train_bn=False)
 
     ds_cls, scans = get_dataset(cfg.dataset, cfg.dataset_scan_split_file,
                                 cfg.single_debug_scan_id)
+    import jax as _jax
+
+    pid, pcount = _jax.process_index(), _jax.process_count()
+    if pcount > 1 and scans:
+        # shard eval by scene across processes; per-scene JSONs land in
+        # the shared output dir and rank 0 merges them at the end
+        scans = list(scans)[pid::pcount]
     # pass_frame_id=True: prediction caches are keyed by the dataset's real
     # frame_id_string (reference test_bd.py:139)
     datasets = {
@@ -81,11 +93,33 @@ def main():
             jnp.asarray(np.linspace(1.5, 5.0, 8, dtype=np.float32)),
             jnp.asarray([0.5] * 8, dtype=np.float32)),
         binary_eval_depth=cfg.binary_eval_depth,
+        max_batches_per_scene=(None if cfg.max_frames is None else
+                               -(-cfg.max_frames // max(cfg.val_batch_size, 1))),
         cache_dir=(os.path.join(cfg.output_base_path, cfg.name, "depth_cache")
                    if cfg.cache_depths else None),
         sigmoid_multiplier=cfg.bd_sigmoid_multiplier,
     )
     avg = results["all_scene"]
+    if pcount > 1:
+        # wait for every process's scene JSONs, then merge on rank 0
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("test_bd_scenes_done")
+        if pid != 0:
+            return
+        import glob
+
+        from implicit_depth_tpu.eval.metrics import ResultsAverager
+
+        avg = ResultsAverager(cfg.name, "scene-averaged metrics (multi-host merge)")
+        for path in sorted(glob.glob(os.path.join(out_dir, "*_metrics.json"))):
+            if path.endswith("all_scenes_metrics.json"):
+                continue
+            scene = ResultsAverager(cfg.name, "scene")
+            scene.from_json(path)
+            avg.update_results(scene.final_metrics)
+        avg.compute_final_average(ignore_nans=True)
+        avg.output_json(os.path.join(out_dir, "all_scenes_metrics.json"))
     avg.pretty_print_results(print_running_metrics=False)
     if not cfg.binary_eval_depth:
         for metric in ("iou", "surface_iou", "boundary_iou"):

@@ -1,0 +1,142 @@
+"""Multi-host (2-process CPU cluster) training-step parity.
+
+Spawns two OS processes that form a jax.distributed cluster (gloo CPU
+collectives), each contributing 2 virtual CPU devices to one global
+4-device mesh. Each process loads only ITS contiguous slice of the
+global batch (the per-rank DataLoader contract, train_bd.py:84-114) and
+the sharded training step's loss must equal a single-process run on the
+same global batch (VERDICT r2 item 3)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join({repo!r}, ".cache", "jax_compile_cpuvirt"))
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+out_path = sys.argv[3]
+
+from implicit_depth_tpu.parallel import distributed as dist
+dist.initialize(f"127.0.0.1:{{port}}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2
+assert len(jax.devices()) == 4, jax.devices()
+
+import jax.numpy as jnp
+from implicit_depth_tpu.parallel import mesh as mesh_lib
+from implicit_depth_tpu.train import state as state_lib
+from implicit_depth_tpu.models.bd_net import BDNet
+from tests.test_train import _batch, D_BINS, K
+
+mesh = mesh_lib.make_mesh(data=4, model=1)
+cur, src = _batch(batch_size=4)  # the full global batch, host-side
+
+net = BDNet(num_src_views=K, num_depth_bins=D_BINS, train_bn=True,
+            image_encoder_name="tiny")
+variables = net.init({{"params": jax.random.PRNGKey(0),
+                      "aug": jax.random.PRNGKey(1)}}, cur, src)
+tx = state_lib.make_optimizer()
+state = state_lib.create_train_state(variables, tx)
+state = jax.device_put(state, mesh_lib.replicated(mesh))
+
+# per-process slice of the global batch (rows [pid*2, pid*2+2))
+lo, hi = pid * 2, pid * 2 + 2
+local = jax.tree.map(lambda x: x[lo:hi], (cur, src))
+gbatch = dist.global_batch(mesh, local)
+
+step = jax.jit(state_lib.make_bd_train_step(net, train_flip=False))
+new_state, losses = step(state, gbatch, jax.random.PRNGKey(0))
+loss = float(losses["loss"])
+if pid == 0:
+    with open(out_path, "w") as f:
+        f.write(repr(loss))
+print(f"process {{pid}}: loss={{loss}}")
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_two_process_training_step_matches_single_process(tmp_path):
+    port = _free_port()
+    out_path = str(tmp_path / "loss.txt")
+    child = _CHILD.format(repo=REPO)
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen([sys.executable, "-c", child, str(pid), str(port), out_path],
+                         env=env, cwd=REPO,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"child failed:\n{out[-3000:]}"
+    with open(out_path) as f:
+        loss_multi = float(f.read())
+
+    # single-process reference on the same global batch
+    import jax
+
+    from implicit_depth_tpu.models.bd_net import BDNet
+    from implicit_depth_tpu.train import state as state_lib
+    from tests.test_train import _batch, D_BINS, K
+
+    cur, src = _batch(batch_size=4)
+    net = BDNet(num_src_views=K, num_depth_bins=D_BINS, train_bn=True,
+                image_encoder_name="tiny")
+    variables = net.init({"params": jax.random.PRNGKey(0),
+                          "aug": jax.random.PRNGKey(1)}, cur, src)
+    tx = state_lib.make_optimizer()
+    state = state_lib.create_train_state(variables, tx)
+    step = jax.jit(state_lib.make_bd_train_step(net, train_flip=False))
+    _, losses = step(state, (cur, src), jax.random.PRNGKey(0))
+    loss_single = float(losses["loss"])
+
+    np.testing.assert_allclose(loss_multi, loss_single, rtol=1e-5)
+
+
+def test_loader_sharding_partitions_each_batch():
+    """Two shard-views of one loader cover each global batch exactly."""
+    from implicit_depth_tpu.data.loader import BatchLoader
+    from implicit_depth_tpu.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(num_frames=10, num_views=3, split="train")
+    kw = dict(batch_size=4, num_workers=1, seed=3, epochs=1)
+    full = BatchLoader(ds, **kw)
+    s0 = BatchLoader(ds, shard_id=0, num_shards=2, **kw)
+    s1 = BatchLoader(ds, shard_id=1, num_shards=2, **kw)
+    idx_full = list(full._index_stream())
+    idx_0 = list(s0._index_stream())
+    idx_1 = list(s1._index_stream())
+    assert len(idx_full) == len(idx_0) == len(idx_1)
+    for f, a, b in zip(idx_full, idx_0, idx_1):
+        assert len(a) == len(b) == 2
+        np.testing.assert_array_equal(np.concatenate([a, b]), f)
