@@ -188,6 +188,27 @@ class BDNet(nn.Module):
             lowest = cv.lowest_cost_depth(volume, planes)
             if stop_at == "volume":
                 return {"features": [volume] + list(enc_feats)}
+        elif (
+            self.use_pallas_warp
+            and self.mesh is None
+            and not self.is_initializing()
+            and self.feature_volume_type == "mlp_feature_volume"
+            and m_cur.shape[-1] == 16
+            and self.volume_mlp.hidden == 128
+        ):
+            # TPU training path: fused-kernel PRIMAL + custom VJP that
+            # rematerialises the unfused chain in the backward pass — only
+            # the inputs are saved (strictly less memory than remat over
+            # the unfused chain, and the forward pays the fused kernel's
+            # cost instead of the warp->HBM->MLP round-trip)
+            volume = self.volume_mlp.fused_train(
+                m_cur, m_src,
+                src_data[f"K_s{self.matching_scale}"], src_T_cur,
+                cur_data[f"invK_s{self.matching_scale}"], cur_T_src, planes,
+            )
+            lowest = cv.lowest_cost_depth(jax.lax.stop_gradient(volume), planes)
+            if stop_at == "volume":
+                return {"features": [volume] + list(enc_feats)}
         else:
             vol_fn = type(self)._volume
             if self.remat_volume:

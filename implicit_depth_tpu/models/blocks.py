@@ -106,28 +106,14 @@ def instance_norm(x_bhwc: Array, eps: float = 1e-5) -> Array:
     return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x_bhwc.dtype)
 
 
-def _up2x_1d(x: Array, axis: int) -> Array:
-    """Exact 2x bilinear (align_corners=False, edge clamp) along one axis
-    as a shift/interleave stencil: out[2i] = .25 in[i-1] + .75 in[i],
-    out[2i+1] = .75 in[i] + .25 in[i+1]. Elementwise + reshape only — no
-    gather, so XLA fuses it into neighbouring ops."""
-    n = x.shape[axis]
-    xm = jnp.concatenate([jax.lax.slice_in_dim(x, 0, 1, axis=axis),
-                          jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)], axis=axis)
-    xp = jnp.concatenate([jax.lax.slice_in_dim(x, 1, n, axis=axis),
-                          jax.lax.slice_in_dim(x, n - 1, n, axis=axis)], axis=axis)
-    even = 0.25 * xm + 0.75 * x
-    odd = 0.75 * x + 0.25 * xp
-    shape = list(x.shape)
-    shape[axis] *= 2
-    return jnp.stack([even, odd], axis=axis + 1).reshape(shape)
-
-
 def upsample2x_bilinear(x_bhwc: Array) -> Array:
     """F.interpolate(scale_factor=2, mode='bilinear', align_corners=False).
-    Computed in the input dtype: exact for f32 (the parity path); bf16
-    differs from a f32-computed resize by <=1 ulp of the bf16 storage."""
-    return _up2x_1d(_up2x_1d(x_bhwc, 1), 2)
+
+    jax.image.resize's gather lowering measures FASTER on TPU v5e than an
+    explicit shift/interleave stencil (decoder section 4.1 ms vs 4.7-5.1;
+    roofline r3) — keep the library op."""
+    b, h, w, c = x_bhwc.shape
+    return jax.image.resize(x_bhwc, (b, 2 * h, 2 * w, c), method="bilinear")
 
 
 def upsample2x_nearest(x_bhwc: Array) -> Array:

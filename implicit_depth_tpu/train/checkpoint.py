@@ -79,8 +79,12 @@ class CheckpointManager:
         path = os.path.join(self.directory, f"ckpt_{step:08d}")
         self.wait()  # one in-flight write at a time
         if self.async_write:
+            # device_get NOW, on the caller thread: the training loop may
+            # donate the state's buffers to the next step, so the writer
+            # thread must only ever touch host copies
+            payload = _gather_state(state)
             t = threading.Thread(
-                target=save_state, args=(path, state),
+                target=_write_state, args=(path, payload),
                 kwargs=dict(config=config, metrics=metrics), daemon=True,
             )
             t.start()
@@ -120,20 +124,28 @@ class CheckpointManager:
         return self._entries[0][1] if self._entries else None
 
 
-def save_state(path: str, state, config: Optional[dict] = None,
-               metrics: Optional[dict] = None) -> None:
-    os.makedirs(path, exist_ok=True)
-    payload = {
+def _gather_state(state) -> dict:
+    return {
         "step": np.asarray(state.step),
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
         "opt_state": jax.device_get(state.opt_state),
     }
+
+
+def _write_state(path: str, payload: dict, config: Optional[dict] = None,
+                 metrics: Optional[dict] = None) -> None:
+    os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "state.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(payload))
     meta = {"config": config or {}, "metrics": {k: float(v) for k, v in (metrics or {}).items()}}
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2, default=str)
+
+
+def save_state(path: str, state, config: Optional[dict] = None,
+               metrics: Optional[dict] = None) -> None:
+    _write_state(path, _gather_state(state), config=config, metrics=metrics)
 
 
 def restore_state(path: str, state):

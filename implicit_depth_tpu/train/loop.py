@@ -199,15 +199,18 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
         def put_batch(tree):
             return jax.device_put(tree, bshard)
 
+    # donate the state: params/opt-state buffers update in place instead
+    # of being copied every step (~1.2 GB of HBM writes saved)
     if kind == "bd":
         step_fn = jax.jit(state_lib.make_bd_train_step(
             net,
             pos_weight=cfg.binary_loss_positive_weight,
             regularisation_weight=cfg.bd_regularisation_weight,
             edge_regularisation=cfg.bd_edge_regularision,
-        ))
+        ), donate_argnums=(0,))
     else:
-        step_fn = jax.jit(state_lib.make_regression_train_step(net, dataset=cfg.dataset))
+        step_fn = jax.jit(state_lib.make_regression_train_step(net, dataset=cfg.dataset),
+                          donate_argnums=(0,))
 
     # ---- logging, snapshot, checkpoints (rank 0 only, like Lightning)
     logger = mgr = None

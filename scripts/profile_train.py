@@ -66,7 +66,11 @@ def main():
         cur = jax.tree.map(lambda x: jnp.repeat(x, args.batch, 0), cur)
         src = jax.tree.map(lambda x: jnp.repeat(x, args.batch, 0), src)
     dev = jax.devices()[0]
-    variables, cur, src = jax.device_put((variables, cur, src), dev)
+    # variables stay HOST-side: the donated full-step probe invalidates its
+    # state's device buffers, so each probe's state must be a fresh upload
+    # (device_put of an on-device array is a no-op alias, not a copy)
+    variables = jax.device_get(variables)
+    cur, src = jax.device_put((cur, src), dev)
     batch = (cur, src)
     rng = jax.random.PRNGKey(0)
     tx = state_lib.make_optimizer()
@@ -78,11 +82,12 @@ def main():
 
     net = BDNet(compute_dtype=jnp.bfloat16, use_pallas_warp=on_tpu,
                 remat_volume=args.remat, train_bn=True)
-    step_full = jax.jit(state_lib.make_bd_train_step(net))
+    step_full = jax.jit(state_lib.make_bd_train_step(net), donate_argnums=(0,))
     results["full"] = _time_step(step_full, make_state(), batch, rng, args.iters)
     print(f"{'full step':>22}: {results['full']:8.1f} ms", flush=True)
 
     # forward-only loss: the step's exact loss path without grads/update
+    # (no donation: the probe returns its input state untouched)
     step_fwd = jax.jit(state_lib.make_bd_train_step(net, forward_only=True))
     results["fwd_only"] = _time_step(step_fwd, make_state(), batch, rng, args.iters)
     print(f"{'fwd only':>22}: {results['fwd_only']:8.1f} ms", flush=True)
@@ -96,7 +101,7 @@ def main():
     vars_zero = jax.device_put(vars_zero, dev)
     state_zero = jax.device_put(
         state_lib.create_train_state(vars_zero, tx), dev)
-    step_zero = jax.jit(state_lib.make_bd_train_step(net_zero))
+    step_zero = jax.jit(state_lib.make_bd_train_step(net_zero), donate_argnums=(0,))
     results["zero_volume"] = _time_step(step_zero, state_zero, batch, rng, args.iters)
     print(f"{'zero-volume step':>22}: {results['zero_volume']:8.1f} ms", flush=True)
 

@@ -101,3 +101,44 @@ def test_fused_volume_in_bdnet_trunk():
                          method=BDNet.forward_val)
     out = net.apply(variables, cur, src, method=BDNet.forward_val)
     assert np.isfinite(np.asarray(out["pred_0"], dtype=np.float32)).all()
+
+
+@pytest.mark.parametrize("bwd_impl", ["fused", "unfused"])
+def test_fused_train_grads_match_unfused(bwd_impl):
+    """fused_train under both custom-VJP implementations: the primal is
+    the fused kernel; gradients must match the pure unfused path —
+    exactly for bwd_impl="unfused" (the custom bwd literally
+    differentiates it), to kernel tolerance for the fused Pallas
+    backward."""
+    net, variables, wv, a = _setup(seed=5)
+
+    def fused_loss(variables, cur, src):
+        vol = net.apply(
+            variables, cur, src, a["src_K"], a["src_T_cur"],
+            a["cur_invK"], a["cur_T_src"], a["planes"], interpret=True,
+            bwd_impl=bwd_impl,
+            method=MetadataVolumeMLP.fused_train,
+        )
+        return jnp.sum(vol.astype(jnp.float32) ** 2)
+
+    def unfused_loss(variables, cur, src):
+        wv2 = build_warped_views(
+            cur, src, a["src_K"], a["src_T_cur"],
+            a["cur_invK"], a["cur_T_src"], a["planes"],
+        )
+        vol = net.apply(variables, wv2, cur)
+        return jnp.sum(vol.astype(jnp.float32) ** 2)
+
+    lf, gf = jax.value_and_grad(fused_loss, argnums=(0, 1, 2))(
+        variables, a["cur"], a["src"])
+    lu, gu = jax.value_and_grad(unfused_loss, argnums=(0, 1, 2))(
+        variables, a["cur"], a["src"])
+
+    # primal: fused kernel vs unfused chain agree to kernel tolerance
+    np.testing.assert_allclose(float(lf), float(lu), rtol=1e-3)
+    # gradients: the unfused vjp linearised at (almost) the same loss —
+    # must match the pure unfused grads tightly (identical math modulo
+    # the upstream cotangent scale 2*vol vs 2*vol_fused)
+    for tf_, tu_ in zip(jax.tree.leaves(gf), jax.tree.leaves(gu)):
+        np.testing.assert_allclose(np.asarray(tf_), np.asarray(tu_),
+                                   rtol=5e-3, atol=5e-3)
