@@ -191,7 +191,7 @@ def fused_forward(params: dict, cur_feats_bhwc: Array, src_feats_bkhwc: Array,
 
 @functools.lru_cache(maxsize=None)
 def _make_fused_diff(k: int, c: int, hidden: int, dt_name: str,
-                     interpret: bool, bwd_impl: str = "unfused"):
+                     interpret: bool, bwd_impl: str = "fused"):
     """Builds the fused-primal volume function for one static config
     (VERDICT r2 item 4): the PRIMAL pass runs the fused Pallas kernel
     (no (k,d,h,w,·) intermediates in HBM, nothing saved but the inputs).
@@ -366,7 +366,7 @@ class MetadataVolumeMLP(nn.Module):
         cur_T_src_bk44: Array,
         planes_d: Array,
         interpret: bool = False,
-        bwd_impl: str = "unfused",
+        bwd_impl: str = "fused",
     ) -> Array:
         """Differentiable fused volume: fused-kernel PRIMAL plus a custom
         VJP — by default the fused Pallas backward pass (recompute +
