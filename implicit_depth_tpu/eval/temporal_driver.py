@@ -105,12 +105,14 @@ class _TupleStager:
             self._thread.join()
             self._thread = None
 
-    def get(self, idx: int) -> tuple[dict, dict, np.ndarray]:
-        """-> (cur_device_dict, src_device_dict, cur_depth_host_hw).
+    def get(self, idx: int):
+        """-> (cur_host_dict, src_host_dicts, cur_image_dev,
+        src_image_devs, cur_depth_host_hw).
 
         Source views are DVMVS-pose-ordered like
-        GenericMVSDataset.__getitem__; images are assembled on device
-        from the cache."""
+        GenericMVSDataset.__getitem__. Only the images live on the
+        device (upload-once cache); all pose/intrinsics stay host-side
+        so the frame loop can ship them in ONE packed upload."""
         self.join()
         scan_id, ids = self._tuple_ids(idx)
         frames = [self._host_frame(scan_id, fid) for fid in ids]
@@ -128,14 +130,9 @@ class _TupleStager:
         src_h = [src_h[i] for i in order]
         src_ids = [src_ids[i] for i in order]
 
-        cur = {k: jnp.asarray(cur_h[k])[None] for k in _CUR_KEYS}
-        cur["image"] = self._dev_image(scan_id, ids[0])[None]
-        cur["depth"] = jnp.asarray(cur_h["depth"])[None]
-        src = {k: jnp.asarray(np.stack([s[k] for s in src_h]))[None]
-               for k in _SRC_KEYS}
-        src["image"] = jnp.stack(
-            [self._dev_image(scan_id, fid) for fid in src_ids])[None]
-        return cur, src, cur_h["depth"][..., 0]
+        cur_img = self._dev_image(scan_id, ids[0])
+        src_imgs = tuple(self._dev_image(scan_id, fid) for fid in src_ids)
+        return cur_h, src_h, cur_img, src_imgs, cur_h["depth"][..., 0]
 
 
 def evaluate_temporal(
@@ -157,19 +154,55 @@ def evaluate_temporal(
     (test_reg.py:145-187 temporal path)."""
     ev = TemporalEvaluator(height=height, width=width)
 
+    # ---- whole-frame jitted program: ONE dispatch per frame.
+    # Everything except the (cached, upload-once) images and the fed-back
+    # prior prediction arrives in one packed f32 vector: per-frame camera
+    # data, the plane anchor, and the prior pose. The plane render, the
+    # cur/src dict assembly and the forward all trace into a single
+    # executable — the per-frame eager-op chain (~30 tunnel round-trips,
+    # ~2.5 s/frame through the axon dev link) collapses to
+    # upload + launch + download.
+    from implicit_depth_tpu.eval.rasterizer import render_plane_depth
+
+    def _frame_fn(cur_image, src_images, pack):
+        k = len(src_images)
+        n_cur = len(_CUR_KEYS) * 16
+        n_src = len(_SRC_KEYS) * k * 16
+        cur_m = pack[:n_cur].reshape(len(_CUR_KEYS), 4, 4)
+        src_m = pack[n_cur:n_cur + n_src].reshape(len(_SRC_KEYS), k, 4, 4)
+        anchor = pack[n_cur + n_src:n_cur + n_src + 16].reshape(4, 4)
+        dist = pack[n_cur + n_src + 16]
+        prior_cam = pack[n_cur + n_src + 17:n_cur + n_src + 33].reshape(4, 4)
+
+        cur = {key: cur_m[i][None] for i, key in enumerate(_CUR_KEYS)}
+        cur["image"] = cur_image[None]
+        rendered = render_plane_depth(anchor, dist, cur_m[1], cur_m[2],
+                                      height, width)
+        cur["rendered_depth"] = rendered[None, ..., None]
+        src = {key: src_m[i][None] for i, key in enumerate(_SRC_KEYS)}
+        src["image"] = jnp.stack(src_images)[None]
+        return cur, src, prior_cam
+
     if regression:
         @jax.jit
-        def step(variables, cur, src):
+        def frame_step(variables, cur_image, src_images, pack, prior_pred):
+            cur, src, _ = _frame_fn(cur_image, src_images, pack)
             out = net.apply(variables, cur, src)
             return (cur["rendered_depth"] < out["depth_pred_0"]).astype(jnp.float32)
     else:
         @jax.jit
-        def step(variables, cur, src):
+        def frame_step(variables, cur_image, src_images, pack, prior_pred):
+            cur, src, prior_cam = _frame_fn(cur_image, src_images, pack)
+            if net.use_prior:
+                cur["prior_prediction"] = prior_pred
+                cur["prior_cam_T_world"] = prior_cam[None]
             out = net.apply(variables, cur, src, method=BDNet.forward_val)
             return jax.nn.sigmoid(sigmoid_multiplier * out["pred_0"].astype(jnp.float32))
 
     on_tpu = jax.default_backend() not in ("cpu",)
     frame_times: list = []
+    import os as _os
+    trace_stages = _os.environ.get("IDT_TEMPORAL_TRACE", "") in ("1", "2")
     for scene_id, ds in datasets_by_scene.items():
         ev.initialise_new_scene(gt_mesh_path=mesh_paths_by_scene[scene_id])
         stager = _TupleStager(ds, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
@@ -180,9 +213,14 @@ def evaluate_temporal(
         pending: Optional[tuple] = None
         n = len(ds) if max_frames_per_scene is None else min(len(ds), max_frames_per_scene)
         stager.prefetch(0)
+        # the no-prior sentinel (-1 everywhere, sample_prior's invalid
+        # value) is a constant: committed once, reused at every re-anchor
+        no_prior = jax.device_put(
+            -jnp.ones((1, height, width, 1), jnp.float32), jax.devices()[0])
         for i in range(n):
             t_frame = time.perf_counter()
-            cur, src, depth_host = stager.get(i)
+            cur_h, src_h, cur_img, src_imgs, depth_host = stager.get(i)
+            t_staged = time.perf_counter()
 
             if i % eval_length == 0:
                 if pending is not None:
@@ -190,38 +228,53 @@ def evaluate_temporal(
                     pending = None
                 if i > 0:
                     ev.compute_vertex_occlusion_changes()
-                ev.initialise_new_plane(depth_host, np.asarray(cur["world_T_cam"])[0])
-                # -1 is the model's invalid-prior sentinel (sample_prior
-                # output); an all--1 prior with the current pose is the
-                # no-prior case without switching the jitted program's
-                # pytree structure (None -> array would force a retrace).
-                # Committed to the device so its sharding signature matches
-                # the fed-back prediction (uncommitted vs committed args
-                # compile two distinct executables).
-                prior_pred = jax.device_put(
-                    -jnp.ones((1, height, width, 1), jnp.float32), jax.devices()[0])
-                prior_pose = cur["cam_T_world"]
+                ev.initialise_new_plane(depth_host, cur_h["world_T_cam"])
+                prior_pred = no_prior
+                prior_pose = cur_h["cam_T_world"]
 
-            rendered = ev.render_plane(cur["cam_T_world"][0], cur["K_s0"][0])
-            cur["rendered_depth"] = rendered[None, ..., None]
-            if not regression and net.use_prior:
-                cur["prior_prediction"] = prior_pred
-                cur["prior_cam_T_world"] = prior_pose
+            t_plane = time.perf_counter()
+            pack_np = np.concatenate([
+                np.stack([cur_h[k] for k in _CUR_KEYS]).reshape(-1),
+                np.stack([np.stack([s[k] for s in src_h])
+                          for k in _SRC_KEYS]).reshape(-1),
+                np.asarray(ev.anchor_pose, np.float32).reshape(-1),
+                np.asarray([ev.plane_distance], np.float32),
+                np.asarray(prior_pose, np.float32).reshape(-1),
+            ]).astype(np.float32)
 
-            pred = step(variables, cur, src)  # async dispatch, (1, h, w, 1)
+            t_render = time.perf_counter()
+            pred = frame_step(variables, cur_img, src_imgs,
+                              jnp.asarray(pack_np), prior_pred)
+            t_dispatch = time.perf_counter()
             # overlap the TPU forward with host work: decode of the next
             # tuple's new frames + frame i-1's vertex-visibility update
             stager.prefetch(i + 1)
             if pending is not None:
                 ev.update_vertex_predictions(*pending)
+            t_visupd = time.perf_counter()
             pred_np = np.asarray(pred)[0, ..., 0]  # sync
-            pending = (pred_np, np.asarray(cur["cam_T_world"])[0],
-                       np.asarray(cur["K_s0"])[0])
+            t_sync = time.perf_counter()
+            pending = (pred_np, cur_h["cam_T_world"], cur_h["K_s0"])
             prior_pred = pred
-            prior_pose = cur["cam_T_world"]
+            prior_pose = cur_h["cam_T_world"]
             # wall time of the full per-frame pipeline (staging + plane
             # render + model forward + overlapped rasterise/vertex update)
             frame_times.append(time.perf_counter() - t_frame)
+            if trace_stages:
+                extra = ""
+                if _os.environ.get("IDT_TEMPORAL_TRACE") == "2":
+                    t_r = time.perf_counter()
+                    np.asarray(frame_step(variables, cur_img, src_imgs,
+                                          jnp.asarray(pack_np), prior_pred))
+                    extra = f" repeat_call={time.perf_counter() - t_r:.3f}"
+                print(
+                    f"frame {i}: stage={t_staged - t_frame:.3f} "
+                    f"plane_init={t_plane - t_staged:.3f} "
+                    f"pack={t_render - t_plane:.3f} "
+                    f"dispatch={t_dispatch - t_render:.3f} "
+                    f"visupd={t_visupd - t_dispatch:.3f} "
+                    f"sync={t_sync - t_visupd:.3f} "
+                    f"total={frame_times[-1]:.3f}{extra}", flush=True)
         if pending is not None:
             ev.update_vertex_predictions(*pending)
         ev.compute_vertex_occlusion_changes()

@@ -105,12 +105,45 @@ def main():
     results["zero_volume"] = _time_step(step_zero, state_zero, batch, rng, args.iters)
     print(f"{'zero-volume step':>22}: {results['zero_volume']:8.1f} ms", flush=True)
 
+    # trunk-only (zero volume, surrogate loss on the decoder features):
+    # zero_volume - trunk_zero isolates the ray-head + binary-loss block
+    def trunk_zero_step(state, batch_, rng_):
+        cur_d, src_d = batch_
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out, mutated = net_zero.apply(
+                variables, cur_d, src_d, jnp.asarray(False), "",
+                rngs={"aug": rng_}, method=type(net_zero).trunk,
+                mutable=["batch_stats"] if state.batch_stats else [],
+            )
+            loss = sum(
+                jnp.mean(jnp.square(f.astype(jnp.float32)))
+                for f in out["features"].values()
+            )
+            return loss, mutated.get("batch_stats", state.batch_stats)
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        return state.apply_gradients(grads, new_bs), {"loss": loss}
+
+    state_zero2 = jax.device_put(
+        state_lib.create_train_state(jax.device_get(vars_zero), tx), dev)
+    step_trunk = jax.jit(trunk_zero_step, donate_argnums=(0,))
+    results["trunk_zero"] = _time_step(step_trunk, state_zero2, batch, rng, args.iters)
+    print(f"{'trunk-only (zero vol)':>22}: {results['trunk_zero']:8.1f} ms", flush=True)
+
     print("\nderived sections:")
     vol = results["full"] - results["zero_volume"]
     print(f"{'volume block (f+b)':>22}: {vol:8.1f} ms")
     if "fwd_only" in results:
         print(f"{'bwd + update':>22}: {results['full'] - results['fwd_only']:8.1f} ms")
     print(f"{'conv stacks (f+b)':>22}: {results['zero_volume']:8.1f} ms (incl. heads)")
+    if "trunk_zero" in results:
+        head = results["zero_volume"] - results["trunk_zero"]
+        print(f"{'ray head + loss (f+b)':>22}: {head:8.1f} ms")
     per = results["full"] / args.batch
     print(f"\nbatch={args.batch} remat={args.remat}: "
           f"{results['full']:.1f} ms/step = {per:.1f} ms/sample "
