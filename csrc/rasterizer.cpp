@@ -28,27 +28,16 @@
 #include <omp.h>
 #endif
 
-extern "C" {
+namespace {
 
-// verts: (n_verts, 3) float32 world coords
-// faces: (n_faces, 3) int32 vertex indices
-// cam_T_world: (4, 4) row-major float32
-// K: (3, 3) row-major float32 (intrinsics at the output resolution)
-// out_depth: (height, width) float32, 0 where no geometry
-void rasterize_depth(
+// Transforms vertices to camera space and projects to pixel coords.
+// cam: (n, 3) camera-space xyz; px/py: pixel coords (NaN behind camera).
+void project_all(
     const float* verts, int64_t n_verts,
-    const int32_t* faces, int64_t n_faces,
-    const float* cam_T_world,
-    const float* K,
-    int32_t height, int32_t width,
-    float* out_depth) {
+    const float* cam_T_world, const float* K,
+    float* cam, float* px, float* py) {
   const float fx = K[0], cx = K[2];
   const float fy = K[4], cy = K[5];
-
-  // transform all vertices to camera space and project
-  float* cam = new float[n_verts * 3];
-  float* px = new float[n_verts];
-  float* py = new float[n_verts];
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n_verts; ++i) {
     const float x = verts[i * 3 + 0];
@@ -68,6 +57,29 @@ void rasterize_depth(
       py[i] = std::numeric_limits<float>::quiet_NaN();
     }
   }
+}
+
+}  // namespace
+
+extern "C" {
+
+// verts: (n_verts, 3) float32 world coords
+// faces: (n_faces, 3) int32 vertex indices
+// cam_T_world: (4, 4) row-major float32
+// K: (3, 3) row-major float32 (intrinsics at the output resolution)
+// out_depth: (height, width) float32, 0 where no geometry
+void rasterize_depth(
+    const float* verts, int64_t n_verts,
+    const int32_t* faces, int64_t n_faces,
+    const float* cam_T_world,
+    const float* K,
+    int32_t height, int32_t width,
+    float* out_depth) {
+  // transform all vertices to camera space and project
+  float* cam = new float[n_verts * 3];
+  float* px = new float[n_verts];
+  float* py = new float[n_verts];
+  project_all(verts, n_verts, cam_T_world, K, cam, px, py);
 
   const int64_t npix = (int64_t)height * width;
   for (int64_t i = 0; i < npix; ++i) out_depth[i] = 0.0f;
@@ -150,6 +162,59 @@ void rasterize_depth(
   delete[] cam;
   delete[] px;
   delete[] py;
+}
+
+// Fused per-frame vertex-visibility update for the temporal evaluator
+// (reference: utils/binary_metrics_utils.py:360-388). Equivalent to
+// rasterize_depth + project_vertices + the numpy sampling chain in
+// TemporalEvaluator.update_vertex_predictions, in ONE call with no
+// million-element host temporaries:
+//   out[i] = pred[v, u]  if the vertex projects in-bounds (outside the
+//            edge_size border), its camera depth matches the z-buffer
+//            within 5 cm, and the sampled prediction is > 0;
+//          = -1 otherwise.
+void sample_vertex_predictions(
+    const float* verts, int64_t n_verts,
+    const int32_t* faces, int64_t n_faces,
+    const float* cam_T_world,
+    const float* K,
+    const float* pred,  // (height, width) float32, model prediction
+    int32_t height, int32_t width, int32_t edge_size,
+    float* out_pred) {  // (n_verts,) float32
+  // z-buffer reuses the exact rasterize_depth path (shared projection)
+  float* zbuf = new float[(int64_t)height * width];
+  rasterize_depth(verts, n_verts, faces, n_faces, cam_T_world, K,
+                  height, width, zbuf);
+
+  const float fx = K[0], cx = K[2];
+  const float fy = K[4], cy = K[5];
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n_verts; ++i) {
+    const float x = verts[i * 3 + 0];
+    const float y = verts[i * 3 + 1];
+    const float z = verts[i * 3 + 2];
+    const float czp = cam_T_world[8] * x + cam_T_world[9] * y + cam_T_world[10] * z + cam_T_world[11];
+    out_pred[i] = -1.0f;
+    if (czp <= 1e-6f) continue;  // behind camera (z>0 test)
+    const float cxp = cam_T_world[0] * x + cam_T_world[1] * y + cam_T_world[2] * z + cam_T_world[3];
+    const float cyp = cam_T_world[4] * x + cam_T_world[5] * y + cam_T_world[6] * z + cam_T_world[7];
+    // same rounding as the numpy path: round(u - 0.5) with banker's
+    // rounding is rint; numpy's np.round is rint (half-to-even)
+    const float uf = fx * cxp / czp + cx;
+    const float vf = fy * cyp / czp + cy;
+    const int64_t u = (int64_t)std::nearbyint(uf - 0.5f);
+    const int64_t v = (int64_t)std::nearbyint(vf - 0.5f);
+    if (u < 0 || u >= width || v < 0 || v >= height) continue;  // inb
+    // edge mask: border pixels carry pred = -1
+    const bool masked = (u < edge_size || u >= width - edge_size ||
+                         v < edge_size || v >= height - edge_size);
+    const float sampled_z = zbuf[v * width + u];
+    if (sampled_z <= 0.0f) continue;
+    if (std::fabs(czp - sampled_z) >= 0.05f) continue;
+    const float p = masked ? -1.0f : pred[v * width + u];
+    if (p > 0.0f) out_pred[i] = p;
+  }
+  delete[] zbuf;
 }
 
 // Projects vertices into the camera: out (n_verts, 3) = (u, v, z_cam).

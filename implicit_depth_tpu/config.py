@@ -111,6 +111,7 @@ class Config:
     regression_plane_eval: bool = False
     skinny_cache_dump: bool = False
     temporal_eval: bool = False
+    temporal_scan: bool = False  # device-resident lax.scan window loop
     eval_length: int = 15
     eval_frame_multiplier: int = 8
     warmup: int = 2

@@ -43,6 +43,10 @@ def _load_lib():
         ctypes.c_int32, ctypes.c_int32, f32p,
     ]
     lib.project_vertices.argtypes = [f32p, ctypes.c_int64, f32p, f32p, f32p]
+    lib.sample_vertex_predictions.argtypes = [
+        f32p, ctypes.c_int64, i32p, ctypes.c_int64, f32p, f32p, f32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, f32p,
+    ]
     _lib = lib
     return lib
 
@@ -74,6 +78,31 @@ def project_mesh_vertices(
     K = np.ascontiguousarray(K_33[:3, :3], np.float32)
     out = np.zeros((verts.shape[0], 3), np.float32)
     lib.project_vertices(verts, verts.shape[0], T, K, out)
+    return out
+
+
+def sample_vertex_predictions(
+    verts_n3: np.ndarray, faces_n3: np.ndarray,
+    cam_T_world_44: np.ndarray, K_33: np.ndarray,
+    pred_hw: np.ndarray, edge_size: int = 4,
+) -> np.ndarray:
+    """Fused per-frame vertex-visibility update (C++, one call).
+
+    Equivalent to rasterize_mesh_depth + project_mesh_vertices + the
+    numpy sampling chain of TemporalEvaluator.update_vertex_predictions
+    (reference: utils/binary_metrics_utils.py:360-388) without the
+    million-element host temporaries. Returns (n_verts,) float32 of the
+    sampled prediction at visible vertices, -1 elsewhere."""
+    lib = _load_lib()
+    verts = np.ascontiguousarray(verts_n3, np.float32)
+    faces = np.ascontiguousarray(faces_n3, np.int32)
+    T = np.ascontiguousarray(cam_T_world_44, np.float32)
+    K = np.ascontiguousarray(K_33[:3, :3], np.float32)
+    pred = np.ascontiguousarray(pred_hw, np.float32)
+    h, w = pred.shape
+    out = np.empty((verts.shape[0],), np.float32)
+    lib.sample_vertex_predictions(verts, verts.shape[0], faces, faces.shape[0],
+                                  T, K, pred, h, w, edge_size, out)
     return out
 
 

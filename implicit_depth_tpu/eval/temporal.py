@@ -76,7 +76,21 @@ class TemporalEvaluator:
     def update_vertex_predictions(self, pred_hw: np.ndarray,
                                   cam_T_world_44: np.ndarray, K_44: np.ndarray) -> None:
         """Samples the (edge-masked) prediction at visible GT-mesh vertices
-        (binary_metrics_utils.py:360-388)."""
+        (binary_metrics_utils.py:360-388). One fused C++ call: rasterize +
+        project + sample, no million-element host temporaries (the host
+        per-frame floor of the temporal pipeline)."""
+        from implicit_depth_tpu.eval.rasterizer import sample_vertex_predictions
+
+        out = sample_vertex_predictions(
+            self.verts, self.faces, np.asarray(cam_T_world_44),
+            np.asarray(K_44)[:3, :3], np.asarray(pred_hw, np.float32),
+        )
+        self.vertex_predictions.append(out)
+
+    def _update_vertex_predictions_py(self, pred_hw: np.ndarray,
+                                      cam_T_world_44: np.ndarray, K_44: np.ndarray) -> None:
+        """Unfused numpy composition of the same update — the parity
+        oracle for the fused C++ path (tests/test_temporal.py)."""
         pred = self.mask_prediction_edges(np.asarray(pred_hw, np.float32))
         zbuf = rasterize_mesh_depth(
             self.verts, self.faces, np.asarray(cam_T_world_44), np.asarray(K_44),

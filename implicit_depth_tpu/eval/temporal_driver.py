@@ -148,10 +148,15 @@ def evaluate_temporal(
     width: int = 256,
     max_frames_per_scene: Optional[int] = None,
     regression: bool = False,
+    use_scan: bool = False,
 ) -> dict:
     """With regression=True the net is a DepthNet and the occlusion
     probability is the hard classifier (rendered < predicted depth)
-    (test_reg.py:145-187 temporal path)."""
+    (test_reg.py:145-187 temporal path).
+
+    use_scan=True runs each plane window as a device-resident
+    jax.lax.scan (ONE dispatch per eval_length frames, prior feedback in
+    the scan carry) instead of one dispatch per frame."""
     ev = TemporalEvaluator(height=height, width=width)
 
     # ---- whole-frame jitted program: ONE dispatch per frame.
@@ -164,8 +169,8 @@ def evaluate_temporal(
     # upload + launch + download.
     from implicit_depth_tpu.eval.rasterizer import render_plane_depth
 
-    def _frame_fn(cur_image, src_images, pack):
-        k = len(src_images)
+    def _frame_fn(cur_image, src_stack, pack):
+        k = src_stack.shape[0]
         n_cur = len(_CUR_KEYS) * 16
         n_src = len(_SRC_KEYS) * k * 16
         cur_m = pack[:n_cur].reshape(len(_CUR_KEYS), 4, 4)
@@ -180,29 +185,133 @@ def evaluate_temporal(
                                       height, width)
         cur["rendered_depth"] = rendered[None, ..., None]
         src = {key: src_m[i][None] for i, key in enumerate(_SRC_KEYS)}
-        src["image"] = jnp.stack(src_images)[None]
+        src["image"] = src_stack[None]
         return cur, src, prior_cam
 
-    if regression:
-        @jax.jit
-        def frame_step(variables, cur_image, src_images, pack, prior_pred):
-            cur, src, _ = _frame_fn(cur_image, src_images, pack)
+    def _predict(variables, cur, src, prior_pred, prior_cam):
+        if regression:
             out = net.apply(variables, cur, src)
             return (cur["rendered_depth"] < out["depth_pred_0"]).astype(jnp.float32)
-    else:
-        @jax.jit
-        def frame_step(variables, cur_image, src_images, pack, prior_pred):
-            cur, src, prior_cam = _frame_fn(cur_image, src_images, pack)
-            if net.use_prior:
-                cur["prior_prediction"] = prior_pred
-                cur["prior_cam_T_world"] = prior_cam[None]
-            out = net.apply(variables, cur, src, method=BDNet.forward_val)
-            return jax.nn.sigmoid(sigmoid_multiplier * out["pred_0"].astype(jnp.float32))
+        if net.use_prior:
+            cur["prior_prediction"] = prior_pred
+            cur["prior_cam_T_world"] = prior_cam[None]
+        out = net.apply(variables, cur, src, method=BDNet.forward_val)
+        return jax.nn.sigmoid(sigmoid_multiplier * out["pred_0"].astype(jnp.float32))
+
+    @jax.jit
+    def frame_step(variables, cur_image, src_images, pack, prior_pred):
+        cur, src, prior_cam = _frame_fn(cur_image, jnp.stack(src_images), pack)
+        return _predict(variables, cur, src, prior_pred, prior_cam)
+
+    # ---- whole-WINDOW jitted program: the eval_length-frame sequence
+    # loop as a lax.scan carry (SURVEY §5 "long-context"). The fed-back
+    # prior prediction + prior pose live in the scan carry, so an entire
+    # plane window (model forward x L, plane renders, prior feedback)
+    # runs device-resident in ONE dispatch; the host gets all L
+    # prediction maps in a single download and spends its time only on
+    # the C++ vertex-visibility updates, pipelined against the next
+    # window's scan. Distinct window lengths (the scene tail) compile
+    # once each via the static tuple arity.
+    @jax.jit
+    def window_step(variables, cur_images, src_images, packs,
+                    init_prior_pred, init_prior_cam):
+        cur_stack = jnp.stack(cur_images)                       # (L,h,w,3)
+        src_stack = jnp.stack([jnp.stack(s) for s in src_images])  # (L,k,h,w,3)
+
+        def body(carry, xs):
+            prior_pred, prior_cam = carry
+            cur_image, src_st, pack = xs
+            cur, src, _ = _frame_fn(cur_image, src_st, pack)
+            pred = _predict(variables, cur, src, prior_pred, prior_cam)
+            new_cam = pack[16:32].reshape(4, 4)  # cur cam_T_world (_CUR_KEYS[1])
+            return (pred, new_cam), pred[0, ..., 0]
+
+        (_, _), preds = jax.lax.scan(
+            body, (init_prior_pred, init_prior_cam),
+            (cur_stack, src_stack, packs))
+        return preds  # (L, h, w) f32
 
     on_tpu = jax.default_backend() not in ("cpu",)
     frame_times: list = []
     import os as _os
     trace_stages = _os.environ.get("IDT_TEMPORAL_TRACE", "") in ("1", "2")
+
+    if use_scan:
+        # window-granular pipeline: while the device scans window W, the
+        # host applies window W-1's vertex-visibility updates.
+        def apply_window(preds_np, metas, depth0, world_T_cam0):
+            ev.initialise_new_plane(depth0, world_T_cam0)
+            for pred_hw, (cam_T_world, K_s0) in zip(preds_np, metas):
+                ev.update_vertex_predictions(pred_hw, cam_T_world, K_s0)
+            ev.compute_vertex_occlusion_changes()
+
+        for scene_id, ds in datasets_by_scene.items():
+            ev.initialise_new_scene(gt_mesh_path=mesh_paths_by_scene[scene_id])
+            stager = _TupleStager(ds, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+            n = len(ds) if max_frames_per_scene is None else min(len(ds), max_frames_per_scene)
+            no_prior = jax.device_put(
+                -jnp.ones((1, height, width, 1), jnp.float32), jax.devices()[0])
+            pending: Optional[tuple] = None
+            stager.prefetch(0)
+            i = 0
+            while i < n:
+                t_win = time.perf_counter()
+                l_w = min(eval_length, n - i)
+                frames = []
+                for j in range(i, i + l_w):
+                    frames.append(stager.get(j))
+                    stager.prefetch(j + 1)
+                cur_h0, _, _, _, depth0 = frames[0]
+                anchor = np.asarray(cur_h0["world_T_cam"], np.float64)
+                dist = float(np.nanquantile(depth0, 0.75))
+                packs, metas, cur_imgs, src_imgs = [], [], [], []
+                for cur_h, src_h, cur_img, src_im, _d in frames:
+                    packs.append(np.concatenate([
+                        np.stack([cur_h[k] for k in _CUR_KEYS]).reshape(-1),
+                        np.stack([np.stack([s[k] for s in src_h])
+                                  for k in _SRC_KEYS]).reshape(-1),
+                        anchor.astype(np.float32).reshape(-1),
+                        np.asarray([dist], np.float32),
+                        # prior pose comes from the scan carry; this pack
+                        # slot keeps the frame-mode layout (unused here)
+                        np.asarray(cur_h["cam_T_world"], np.float32).reshape(-1),
+                    ]).astype(np.float32))
+                    metas.append((cur_h["cam_T_world"], cur_h["K_s0"]))
+                    cur_imgs.append(cur_img)
+                    src_imgs.append(src_im)
+                t_staged = time.perf_counter()
+                preds = window_step(
+                    variables, tuple(cur_imgs), tuple(src_imgs),
+                    jnp.asarray(np.stack(packs)), no_prior,
+                    jnp.asarray(np.asarray(cur_h0["cam_T_world"], np.float32)))
+                t_dispatch = time.perf_counter()
+                if pending is not None:
+                    apply_window(*pending)
+                t_visupd = time.perf_counter()
+                preds_np = np.asarray(preds).astype(np.float32)  # sync
+                t_sync = time.perf_counter()
+                pending = (preds_np, metas, depth0, cur_h0["world_T_cam"])
+                frame_times.extend([(time.perf_counter() - t_win) / l_w] * l_w)
+                if trace_stages:
+                    print(
+                        f"window {i}..{i + l_w}: stage={t_staged - t_win:.3f} "
+                        f"dispatch={t_dispatch - t_staged:.3f} "
+                        f"visupd={t_visupd - t_dispatch:.3f} "
+                        f"sync={t_sync - t_visupd:.3f} "
+                        f"per_frame={(time.perf_counter() - t_win) / l_w:.3f}",
+                        flush=True)
+                i += l_w
+            if pending is not None:
+                apply_window(*pending)
+
+        score = ev.temporal_score(len(datasets_by_scene), eval_length, warmup,
+                                  frame_multiplier)
+        med = sorted(frame_times)[len(frame_times) // 2] if frame_times else 0.0
+        return {"temporal_score": score, "total_diffs": ev.total_diffs,
+                "total_verts": ev.total_verts,
+                "frames_per_sec": (1.0 / med) if med else 0.0,
+                "n_frames": len(frame_times), "frame_times": frame_times}
+
     for scene_id, ds in datasets_by_scene.items():
         ev.initialise_new_scene(gt_mesh_path=mesh_paths_by_scene[scene_id])
         stager = _TupleStager(ds, dtype=jnp.bfloat16 if on_tpu else jnp.float32)

@@ -72,6 +72,7 @@ def main():
             sigmoid_multiplier=cfg.bd_sigmoid_multiplier,
             height=cfg.depth_height, width=cfg.depth_width,
             max_frames_per_scene=cfg.max_frames,
+            use_scan=cfg.temporal_scan,
         )
         ft = ", ".join(f"{t:.2f}" for t in result["frame_times"])
         print(f"temporal_score: {result['temporal_score']:.4f} "

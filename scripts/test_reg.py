@@ -70,7 +70,8 @@ def main():
             eval_length=cfg.eval_length, warmup=cfg.warmup,
             frame_multiplier=cfg.eval_frame_multiplier,
             height=cfg.depth_height, width=cfg.depth_width,
-            max_frames_per_scene=cfg.max_frames)
+            max_frames_per_scene=cfg.max_frames,
+            use_scan=cfg.temporal_scan)
         print(f"temporal_score: {result['temporal_score']:.4f}")
         return
 

@@ -98,6 +98,27 @@ def test_render_plane_depth_identity_camera():
     np.testing.assert_allclose(np.asarray(depth2), 3.0, atol=1e-5)
 
 
+def test_fused_vertex_sampling_matches_numpy_composition():
+    """The one-call C++ update == the unfused rasterize+project+sample
+    chain on a random mesh, random camera, random prediction."""
+    rng = np.random.default_rng(0)
+    h, w = 48, 64
+    n_verts, n_faces = 4000, 8000
+    verts = rng.uniform([-3, -3, 0.5], [3, 3, 6.0], (n_verts, 3)).astype(np.float32)
+    faces = rng.integers(0, n_verts, (n_faces, 3)).astype(np.int32)
+    K = _K(h, w)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [0.1, -0.2, 0.05]
+    pred = rng.uniform(-0.5, 1.0, (h, w)).astype(np.float32)
+
+    ev = TemporalEvaluator(height=h, width=w)
+    ev.initialise_new_scene(verts=verts, faces=faces)
+    ev.update_vertex_predictions(pred, T, K)          # fused C++
+    ev._update_vertex_predictions_py(pred, T, K)      # numpy oracle
+    fused, oracle = ev.vertex_predictions
+    np.testing.assert_array_equal(fused, oracle)
+
+
 def test_temporal_evaluator_flicker_counting():
     h, w = 48, 64
     ev = TemporalEvaluator(height=h, width=w)
