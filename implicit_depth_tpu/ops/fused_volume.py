@@ -370,6 +370,10 @@ def _fused_bwd_kernel(
     # scratch
     vis_ref,     # (K*C, G*W) cdt recomputed warped features, one group
     m_ref,       # (K*8, G*W) f32 recomputed metadata rows, one group
+    wx_ref,      # (K*W, G*W) cdt per-view bilinear-hat x operands, one group
+    y_ref,       # (K*G, W) f32 per-view warp y coords, one group
+    st_ref,      # (K,) i32 SMEM per-view chunk window start
+    nch_ref,     # (K,) i32 SMEM per-view chunk count
     *,
     height: int,
     width: int,
@@ -471,6 +475,13 @@ def _fused_bwd_kernel(
                 0, nch, chunk, jnp.zeros((C, G, W), jnp.float32)
             )
             vis_ref[pl.ds(k * C, C)] = warped.reshape(C, GW).astype(cdt)
+            # stage the warp operands for the scatter loop: the hat
+            # matrix, the y coords and the chunk window are identical
+            # there — recomputing them doubled the VPU work per group
+            wx_ref[pl.ds(k * W, W)] = wx
+            y_ref[pl.ds(k * G, G)] = y
+            st_ref[k] = start
+            nch_ref[k] = nch
 
             dotp = jnp.sum(warped * cur_row[:, None, :], axis=0)
             ro = r0 * o[0] + r1 * o[1] + r2 * o[2]
@@ -541,30 +552,13 @@ def _fused_bwd_kernel(
             dcur_cw = dcur_cw + jnp.sum(prod, axis=1)
         dcur_ref[0, 0] = dcur_ref[0, 0] + dcur_cw
 
-        # ---- scatter each view's cotangent back through the warp transpose
+        # ---- scatter each view's cotangent back through the warp
+        # transpose, reusing the staged hat operands / window from k_fwd
         for k in range(K):
-            a = [[A_ref[bi, k, i, j] for j in range(3)] for i in range(3)]
-            b = [b_ref[bi, k, i] for i in range(3)]
-
-            bx = a[0][0] * u1 + (a[0][1] * vv + a[0][2])
-            by = a[1][0] * u1 + (a[1][1] * vv + a[1][2])
-            bz = a[2][0] * u1 + (a[2][1] * vv + a[2][2])
-            xr = dep * bx + b[0]
-            yr = dep * by + b[1]
-            z = jnp.maximum(dep * bz + b[2], 1e-5)
-            x = jnp.clip(xr / z - 0.5, -2.0 * W, 2.0 * W)
-            y = jnp.clip(yr / z - 0.5, -2.0 * height, 2.0 * height)
-
-            xf = x.reshape(1, GW)
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(iota_x - xf)).astype(cdt)
-
-            lo_c = jnp.maximum(jnp.floor(jnp.min(y)).astype(jnp.int32), 0)
-            hi_c = jnp.minimum(jnp.floor(jnp.max(y)).astype(jnp.int32) + 1,
-                               height - 1)
-            nrows = hi_c - lo_c + 1
-            nch = jnp.where(nrows > 0, (nrows + 7) // 8, 0)
-            start = jnp.clip(lo_c, 0, height - 1)
-            yf = y.reshape(1, 1, G, W)
+            wx = wx_ref[pl.ds(k * W, W)]
+            yf = y_ref[pl.ds(k * G, G)].reshape(1, 1, G, W)
+            start = st_ref[k]
+            nch = nch_ref[k]
 
             dvis_k = dvis[k * C: (k + 1) * C] + cur_gw * ddot[k: k + 1]
             ct_cgu = dvis_k.reshape(C, G, W)[None]            # (1, C, G, W)
@@ -716,6 +710,10 @@ def fused_metadata_volume_bwd(
         scratch_shapes=[
             pltpu.VMEM((K * C, _G * Wp), cdt),
             pltpu.VMEM((K * 8, _G * Wp), jnp.float32),
+            pltpu.VMEM((K * Wp, _G * Wp), cdt),
+            pltpu.VMEM((K * _G, Wp), jnp.float32),
+            pltpu.SMEM((K,), jnp.int32),
+            pltpu.SMEM((K,), jnp.int32),
         ],
         # the (K, Hpad, C, W) f32 scatter accumulator + double-buffered src
         # block exceed XLA's default 16 MB scoped-vmem cap; v5e has 128 MB
