@@ -79,6 +79,21 @@ def main():
               f"({result['total_diffs']:.0f} flips / {result['total_verts']} verts), "
               f"{result['frames_per_sec']:.2f} frames/s (median) over "
               f"{result['n_frames']} frames [{ft}]")
+        if pcount > 1:
+            # scenes were sharded across processes: merge flip counts and
+            # scene counts, rank 0 prints the global score (the reference
+            # normalisation divides by (eval_length-warmup)*mult*n_scans,
+            # test_bd.py:451-459)
+            from jax.experimental import multihost_utils
+
+            local = np.asarray([result["total_diffs"], float(len(datasets))],
+                               np.float64)
+            both = np.asarray(multihost_utils.process_allgather(local))
+            if pid == 0:
+                denom = ((cfg.eval_length - cfg.warmup)
+                         * cfg.eval_frame_multiplier * both[:, 1].sum())
+                print(f"global temporal_score: {both[:, 0].sum() / max(denom, 1):.4f} "
+                      f"over {int(both[:, 1].sum())} scenes / {pcount} processes")
         return
 
     thresholder = None
