@@ -90,6 +90,32 @@ def test_temporal_scan_matches_frame_mode(tmp_path):
     np.testing.assert_allclose(r_scan["temporal_score"], r_frame["temporal_score"])
 
 
+def test_temporal_scan_matches_frame_mode_regression(tmp_path):
+    """Scan == frame-mode for the regression (DepthNet) temporal path
+    (test_reg.py:145-187): hard rendered<pred classifier, no prior."""
+    from implicit_depth_tpu.models.depth_net import DepthNet
+
+    ds = SyntheticDataset(num_frames=7, num_views=3, split="val", get_bd_info=True)
+    net = DepthNet(num_src_views=2, num_depth_bins=8, image_encoder_name="tiny")
+    cur, src = collate([ds[0]])
+    cur = {k: jnp.asarray(v) for k, v in cur.items()}
+    src = {k: jnp.asarray(v) for k, v in src.items()}
+    variables = net.init({"params": jax.random.PRNGKey(0)}, cur, src)
+    verts = np.array([[-3, -3, 4.0], [3, -3, 4.0], [3, 3, 4.0], [-3, 3, 4.0]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    mesh = _write_ply(tmp_path, verts, faces)
+
+    kwargs = dict(eval_length=3, warmup=1, frame_multiplier=2, regression=True,
+                  height=ds.depth_height, width=ds.depth_width,
+                  max_frames_per_scene=5)
+    r_frame = evaluate_temporal(net, variables, {"scene0": ds}, {"scene0": mesh},
+                                **kwargs)
+    r_scan = evaluate_temporal(net, variables, {"scene0": ds}, {"scene0": mesh},
+                               use_scan=True, **kwargs)
+    assert r_scan["total_diffs"] == r_frame["total_diffs"]
+    np.testing.assert_allclose(r_scan["temporal_score"], r_frame["temporal_score"])
+
+
 def _write_ply(tmp_path, verts, faces):
     path = str(tmp_path / "mesh.ply")
     with open(path, "w") as f:
