@@ -30,6 +30,7 @@ def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    shutdown_timeout_seconds: Optional[int] = None,
 ) -> None:
     """Joins (or forms) the jax.distributed cluster.
 
@@ -58,12 +59,26 @@ def initialize(
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
+    if shutdown_timeout_seconds is not None:
+        kwargs["shutdown_timeout_seconds"] = shutdown_timeout_seconds
     jax.distributed.initialize(**kwargs)
 
 
 def process_info() -> tuple[int, int]:
     """(process_index, process_count)."""
     return jax.process_index(), jax.process_count()
+
+
+def barrier(name: str, timeout_s: int = 900) -> None:
+    """Cross-process rendezvous through the coordination service (NOT an
+    XLA collective — safe to call while other ranks are still compiling,
+    where a gloo/ICI collective would hit its own op timeout). No-op in
+    single-process runs."""
+    from jax._src import distributed as _dist_state
+
+    client = getattr(_dist_state.global_state, "client", None)
+    if client is not None and jax.process_count() > 1:
+        client.wait_at_barrier(name, timeout_s * 1000)
 
 
 def global_batch(mesh: Mesh, local_batch, spec: P = P("data")):

@@ -41,6 +41,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate(mesh: Mesh, tree):
+    """Replicates a pytree of host values onto the mesh.
+
+    Single-process: a plain device_put. Multi-process: built with
+    `jax.make_array_from_process_local_data` — each process supplies its
+    own (identical, by construction: same seed / same checkpoint) copy
+    and NO communication happens. device_put of an uncommitted value
+    onto a sharding spanning every process would instead run a
+    cross-host `assert_equal` collective (jax dispatch.py) — typically
+    the program's FIRST collective, which also bootstraps the gloo/ICI
+    transport under its ~30 s key-value timeout; ranks reaching it far
+    apart (serialized compiles on a shared core) kill the run."""
+    s = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, s)
+
+    def put(x):
+        return jax.make_array_from_process_local_data(s, np.asarray(x))
+
+    return jax.tree.map(put, tree)
+
+
 def shard_batch(mesh: Mesh, batch):
     """Places a pytree of host arrays with batch-axis sharding."""
     s = batch_sharding(mesh)

@@ -185,8 +185,8 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
     if cfg.resume:
         state = ckpt_lib.restore_state(cfg.resume, state)
 
-    # ---- sharding
-    state = jax.device_put(state, mesh_lib.replicated(mesh))
+    # ---- sharding (commit-first replicate: see mesh_lib.replicate)
+    state = mesh_lib.replicate(mesh, state)
     bshard = mesh_lib.batch_sharding(mesh)
 
     if pcount > 1:

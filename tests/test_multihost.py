@@ -33,7 +33,8 @@ port = sys.argv[2]
 out_path = sys.argv[3]
 
 from implicit_depth_tpu.parallel import distributed as dist
-dist.initialize(f"127.0.0.1:{{port}}", num_processes=2, process_id=pid)
+dist.initialize(f"127.0.0.1:{{port}}", num_processes=2, process_id=pid,
+                shutdown_timeout_seconds=900)
 assert jax.process_count() == 2
 assert len(jax.devices()) == 4, jax.devices()
 
@@ -52,7 +53,8 @@ variables = net.init({{"params": jax.random.PRNGKey(0),
                       "aug": jax.random.PRNGKey(1)}}, cur, src)
 tx = state_lib.make_optimizer()
 state = state_lib.create_train_state(variables, tx)
-state = jax.device_put(state, mesh_lib.replicated(mesh))
+state = mesh_lib.replicate(mesh, state)  # commit-first: no cross-host
+# assert_equal collective while the other rank may still be compiling
 
 # per-process slice of the global batch (rows [pid*2, pid*2+2))
 lo, hi = pid * 2, pid * 2 + 2
@@ -60,12 +62,19 @@ local = jax.tree.map(lambda x: x[lo:hi], (cur, src))
 gbatch = dist.global_batch(mesh, local)
 
 step = jax.jit(state_lib.make_bd_train_step(net, train_flip=False))
-new_state, losses = step(state, gbatch, jax.random.PRNGKey(0))
+# AOT-compile, then rendezvous through the coordination service BEFORE
+# the first execution: on a 1-core host the two children compile
+# serially, and the fast rank would otherwise sit in the step's gloo
+# collective past its op timeout while the slow rank is still compiling.
+compiled = step.lower(state, gbatch, jax.random.PRNGKey(0)).compile()
+dist.barrier("compiled")
+new_state, losses = compiled(state, gbatch, jax.random.PRNGKey(0))
 loss = float(losses["loss"])
 if pid == 0:
     with open(out_path, "w") as f:
         f.write(repr(loss))
 print(f"process {{pid}}: loss={{loss}}")
+dist.barrier("done")
 """
 
 
