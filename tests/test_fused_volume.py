@@ -86,6 +86,38 @@ def test_fused_volume_batch2():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3, rtol=1e-3)
 
 
+def test_fused_volume_under_lax_scan():
+    """The fused Pallas kernel composes with jax.lax.scan (the temporal
+    --temporal_scan window program runs the full forward, fused volume
+    included, inside a scan body on TPU): scanning over two frames equals
+    two independent calls."""
+    net, variables, _, a = _setup()
+
+    def call(cur, src):
+        return net.apply(
+            variables, cur, src, a["src_K"], a["src_T_cur"],
+            a["cur_invK"], a["cur_T_src"], a["planes"], interpret=True,
+            method=MetadataVolumeMLP.fused,
+        )
+
+    cur2 = jnp.stack([a["cur"], a["cur"] * 0.5])
+    src2 = jnp.stack([a["src"], a["src"] * 0.5])
+
+    @jax.jit
+    def scanned(cur2, src2):
+        def body(carry, xs):
+            cur, src = xs
+            return carry, call(cur, src)
+        _, out = jax.lax.scan(body, 0, (cur2, src2))
+        return out
+
+    got = scanned(cur2, src2)
+    ref0 = call(a["cur"], a["src"])
+    ref1 = call(a["cur"] * 0.5, a["src"] * 0.5)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref1), atol=1e-5)
+
+
 def test_fused_volume_in_bdnet_trunk():
     """BDNet.trunk(fused_volume=True) on CPU falls back to the XLA path
     (use_pallas_warp=False) — the gate must not change results."""
