@@ -1,6 +1,7 @@
 """End-to-end temporal evaluation on the synthetic dataset (tiny net)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -63,6 +64,7 @@ def test_temporal_driver_with_prior(tmp_path):
     assert np.isfinite(ev_result["temporal_score"])
 
 
+@pytest.mark.slow
 def test_temporal_scan_matches_frame_mode(tmp_path):
     """The device-resident lax.scan window loop produces the same flips
     and score as the per-frame dispatch loop (incl. prior feedback)."""
@@ -90,6 +92,7 @@ def test_temporal_scan_matches_frame_mode(tmp_path):
     np.testing.assert_allclose(r_scan["temporal_score"], r_frame["temporal_score"])
 
 
+@pytest.mark.slow
 def test_temporal_scan_matches_frame_mode_regression(tmp_path):
     """Scan == frame-mode for the regression (DepthNet) temporal path
     (test_reg.py:145-187): hard rendered<pred classifier, no prior."""
