@@ -81,19 +81,33 @@ def main():
               f"{result['n_frames']} frames [{ft}]")
         if pcount > 1:
             # scenes were sharded across processes: merge flip counts and
-            # scene counts, rank 0 prints the global score (the reference
-            # normalisation divides by (eval_length-warmup)*mult*n_scans,
-            # test_bd.py:451-459)
-            from jax.experimental import multihost_utils
+            # scene counts through rank files + a coordination-service
+            # barrier (NOT an XLA collective: ranks finish their scenes at
+            # very different times, and a first-collective gloo/ICI
+            # bootstrap would time out; see parallel.distributed.barrier).
+            # Rank 0 prints the global score (reference normalisation:
+            # (eval_length-warmup)*mult*n_scans, test_bd.py:451-459).
+            import json as _json
 
-            local = np.asarray([result["total_diffs"], float(len(datasets))],
-                               np.float64)
-            both = np.asarray(multihost_utils.process_allgather(local))
+            from implicit_depth_tpu.parallel import distributed as dist
+
+            tdir = os.path.join(cfg.output_base_path, cfg.name, "temporal")
+            os.makedirs(tdir, exist_ok=True)
+            with open(os.path.join(tdir, f"rank{pid}.json"), "w") as f:
+                _json.dump({"total_diffs": result["total_diffs"],
+                            "n_scenes": len(datasets)}, f)
+            dist.barrier("temporal_scenes_done")
             if pid == 0:
+                diffs = scenes = 0.0
+                for r in range(pcount):
+                    with open(os.path.join(tdir, f"rank{r}.json")) as f:
+                        d = _json.load(f)
+                    diffs += d["total_diffs"]
+                    scenes += d["n_scenes"]
                 denom = ((cfg.eval_length - cfg.warmup)
-                         * cfg.eval_frame_multiplier * both[:, 1].sum())
-                print(f"global temporal_score: {both[:, 0].sum() / max(denom, 1):.4f} "
-                      f"over {int(both[:, 1].sum())} scenes / {pcount} processes")
+                         * cfg.eval_frame_multiplier * scenes)
+                print(f"global temporal_score: {diffs / max(denom, 1):.4f} "
+                      f"over {int(scenes)} scenes / {pcount} processes")
         return
 
     thresholder = None
@@ -117,10 +131,14 @@ def main():
     )
     avg = results["all_scene"]
     if pcount > 1:
-        # wait for every process's scene JSONs, then merge on rank 0
-        from jax.experimental import multihost_utils
+        # wait for every process's scene JSONs, then merge on rank 0.
+        # Coordination-service barrier, not an XLA collective: ranks
+        # finish their scene shards minutes apart, and if this were the
+        # program's first collective the gloo/ICI bootstrap (~30 s
+        # key-value timeout) would kill the run.
+        from implicit_depth_tpu.parallel import distributed as dist
 
-        multihost_utils.sync_global_devices("test_bd_scenes_done")
+        dist.barrier("test_bd_scenes_done")
         if pid != 0:
             return
         import glob

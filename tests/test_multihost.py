@@ -132,6 +132,47 @@ def test_two_process_training_step_matches_single_process(tmp_path):
     np.testing.assert_allclose(loss_multi, loss_single, rtol=1e-5)
 
 
+_BARRIER_CHILD = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); port = sys.argv[2]; out = sys.argv[3]
+from implicit_depth_tpu.parallel import distributed as dist
+dist.initialize(f"127.0.0.1:{{port}}", num_processes=2, process_id=pid,
+                shutdown_timeout_seconds=300)
+if pid == 0:
+    time.sleep(5)  # deliberate skew: barrier must tolerate it
+dist.barrier("skewed", timeout_s=120)
+with open(f"{{out}}.rank{{pid}}", "w") as f:
+    f.write("ok")
+dist.barrier("done", timeout_s=120)
+"""
+
+
+def test_two_process_barrier_tolerates_skew(tmp_path):
+    """dist.barrier rendezvous through the coordination service: ranks
+    arriving seconds apart (the multi-host eval merge pattern) must not
+    time out and must all pass the barrier."""
+    port = _free_port()
+    out = str(tmp_path / "b")
+    child = _BARRIER_CHILD.format(repo=REPO)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen([sys.executable, "-c", child, str(pid), str(port), out],
+                         env=env, cwd=REPO,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"child failed:\n{o[-2000:]}"
+    assert os.path.exists(out + ".rank0") and os.path.exists(out + ".rank1")
+
+
 def test_loader_sharding_partitions_each_batch():
     """Two shard-views of one loader cover each global batch exactly."""
     from implicit_depth_tpu.data.loader import BatchLoader
