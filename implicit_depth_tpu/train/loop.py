@@ -279,6 +279,15 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
     t0 = time.time()
     batch = first
     step_i = int(state.step)
+    if pcount > 1:
+        # align ranks before the FIRST collective (the first step's grad
+        # psum, which also bootstraps the gloo/ICI transport under its
+        # ~30 s key-value window): per-rank loader/compile skew must not
+        # land inside that window. Coordination-service rendezvous, not
+        # an XLA collective.
+        from implicit_depth_tpu.parallel import distributed as dist
+
+        dist.barrier("pre_first_step")
     while step_i < max_steps:
         cur, src = put_batch(batch)
         rng, sub = jax.random.split(rng)
