@@ -72,7 +72,11 @@ def run_inference(
 
         pred = step(variables, cur, src)  # (1, h, w, 1)
         matte = np.asarray(pred)[0, ..., 0]
-        path = os.path.join(output_dir, f"{frame_id}.npy")
+        # zero-padded like the reference (inference/inference.py:162
+        # saves f"{frame_idx:05d}.npy") so composite_capture's padded
+        # mask lookup (inference/composite.py:99) finds the mattes
+        fid = f"{int(frame_id):05d}" if str(frame_id).isdigit() else str(frame_id)
+        path = os.path.join(output_dir, f"{fid}.npy")
         np.save(path, matte)
         saved.append(path)
 

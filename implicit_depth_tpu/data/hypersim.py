@@ -94,7 +94,7 @@ class HypersimDataset(GenericMVSDataset):
         return os.path.join(self.dataset_path, "valid_frames", scan_id,
                             "valid_frames.txt")
 
-    def get_valid_frame_ids(self, scan_id: str, store_computed: bool = False):
+    def get_valid_frame_ids(self, scan_id: str, store_computed: bool = True):
         """Computes (or loads cached) valid frames for a scan, filtering
         anomalous color/depth renders and non-finite poses — the
         reference's mode-fraction filter applied during valid-frame

@@ -48,6 +48,10 @@ class BatchLoader:
         assert batch_size % num_shards == 0, (
             f"global batch {batch_size} not divisible by {num_shards} shards")
         assert 0 <= shard_id < num_shards
+        assert num_shards == 1 or drop_last, (
+            "multi-host sharding requires drop_last=True: a partial final "
+            "batch would hand later shards an empty/short slice and the "
+            "ranks would diverge at the global-batch assembly")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle

@@ -35,8 +35,17 @@ from implicit_depth_tpu.models.bd_net import BDNet
 
 # keys a forward_val / regression step actually consumes (fixed pytree
 # structure across frames — anything else would force retraces)
-_CUR_KEYS = ("world_T_cam", "cam_T_world", "K_s0", "invK_s0", "K_s1", "invK_s1")
-_SRC_KEYS = ("world_T_cam", "cam_T_world", "K_s0", "K_s1")
+def _frame_keys(matching_scale: int) -> tuple[tuple, tuple]:
+    """(cur_keys, src_keys) the jitted frame program consumes: poses,
+    scale-0 intrinsics (plane render / prior sampling / upsampling) and
+    the model's matching-scale intrinsics. Fixed tuples per net so the
+    packed-upload layout and the jit pytree structure are static."""
+    ms = matching_scale
+    cur = tuple(dict.fromkeys((
+        "world_T_cam", "cam_T_world", "K_s0", "invK_s0",
+        f"K_s{ms}", f"invK_s{ms}")))
+    src = tuple(dict.fromkeys(("world_T_cam", "cam_T_world", "K_s0", f"K_s{ms}")))
+    return cur, src
 
 
 class _TupleStager:
@@ -158,6 +167,7 @@ def evaluate_temporal(
     jax.lax.scan (ONE dispatch per eval_length frames, prior feedback in
     the scan carry) instead of one dispatch per frame."""
     ev = TemporalEvaluator(height=height, width=width)
+    cur_keys, src_keys = _frame_keys(getattr(net, "matching_scale", 1))
 
     # ---- whole-frame jitted program: ONE dispatch per frame.
     # Everything except the (cached, upload-once) images and the fed-back
@@ -171,20 +181,20 @@ def evaluate_temporal(
 
     def _frame_fn(cur_image, src_stack, pack):
         k = src_stack.shape[0]
-        n_cur = len(_CUR_KEYS) * 16
-        n_src = len(_SRC_KEYS) * k * 16
-        cur_m = pack[:n_cur].reshape(len(_CUR_KEYS), 4, 4)
-        src_m = pack[n_cur:n_cur + n_src].reshape(len(_SRC_KEYS), k, 4, 4)
+        n_cur = len(cur_keys) * 16
+        n_src = len(src_keys) * k * 16
+        cur_m = pack[:n_cur].reshape(len(cur_keys), 4, 4)
+        src_m = pack[n_cur:n_cur + n_src].reshape(len(src_keys), k, 4, 4)
         anchor = pack[n_cur + n_src:n_cur + n_src + 16].reshape(4, 4)
         dist = pack[n_cur + n_src + 16]
         prior_cam = pack[n_cur + n_src + 17:n_cur + n_src + 33].reshape(4, 4)
 
-        cur = {key: cur_m[i][None] for i, key in enumerate(_CUR_KEYS)}
+        cur = {key: cur_m[i][None] for i, key in enumerate(cur_keys)}
         cur["image"] = cur_image[None]
         rendered = render_plane_depth(anchor, dist, cur_m[1], cur_m[2],
                                       height, width)
         cur["rendered_depth"] = rendered[None, ..., None]
-        src = {key: src_m[i][None] for i, key in enumerate(_SRC_KEYS)}
+        src = {key: src_m[i][None] for i, key in enumerate(src_keys)}
         src["image"] = src_stack[None]
         return cur, src, prior_cam
 
@@ -223,7 +233,7 @@ def evaluate_temporal(
             cur_image, src_st, pack = xs
             cur, src, _ = _frame_fn(cur_image, src_st, pack)
             pred = _predict(variables, cur, src, prior_pred, prior_cam)
-            new_cam = pack[16:32].reshape(4, 4)  # cur cam_T_world (_CUR_KEYS[1])
+            new_cam = pack[16:32].reshape(4, 4)  # cur cam_T_world (cur_keys[1])
             return (pred, new_cam), pred[0, ..., 0]
 
         (_, _), preds = jax.lax.scan(
@@ -267,9 +277,9 @@ def evaluate_temporal(
                 packs, metas, cur_imgs, src_imgs = [], [], [], []
                 for cur_h, src_h, cur_img, src_im, _d in frames:
                     packs.append(np.concatenate([
-                        np.stack([cur_h[k] for k in _CUR_KEYS]).reshape(-1),
+                        np.stack([cur_h[k] for k in cur_keys]).reshape(-1),
                         np.stack([np.stack([s[k] for s in src_h])
-                                  for k in _SRC_KEYS]).reshape(-1),
+                                  for k in src_keys]).reshape(-1),
                         anchor.astype(np.float32).reshape(-1),
                         np.asarray([dist], np.float32),
                         # prior pose comes from the scan carry; this pack
@@ -343,9 +353,9 @@ def evaluate_temporal(
 
             t_plane = time.perf_counter()
             pack_np = np.concatenate([
-                np.stack([cur_h[k] for k in _CUR_KEYS]).reshape(-1),
+                np.stack([cur_h[k] for k in cur_keys]).reshape(-1),
                 np.stack([np.stack([s[k] for s in src_h])
-                          for k in _SRC_KEYS]).reshape(-1),
+                          for k in src_keys]).reshape(-1),
                 np.asarray(ev.anchor_pose, np.float32).reshape(-1),
                 np.asarray([ev.plane_distance], np.float32),
                 np.asarray(prior_pose, np.float32).reshape(-1),

@@ -94,12 +94,3 @@ def global_batch(mesh: Mesh, local_batch, spec: P = P("data")):
     return jax.tree.map(put, local_batch)
 
 
-def local_batch_size(global_batch_size: int) -> int:
-    """Per-process share of the global batch (DDP contract: the config's
-    batch_size is GLOBAL, like the reference's effective batch over
-    Lightning DDP ranks)."""
-    count = jax.process_count()
-    assert global_batch_size % count == 0, (
-        f"global batch {global_batch_size} not divisible by "
-        f"{count} processes")
-    return global_batch_size // count

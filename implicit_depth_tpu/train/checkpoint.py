@@ -139,6 +139,11 @@ def _write_state(path: str, payload: dict, config: Optional[dict] = None,
     with open(os.path.join(path, "state.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(payload))
     meta = {"config": config or {}, "metrics": {k: float(v) for k, v in (metrics or {}).items()}}
+    # always record the step counter top-level: the resume data-order
+    # offset reads it from here instead of parsing the whole (possibly
+    # GB-sized) state.msgpack (peek_step stays as a last-resort fallback
+    # for hand-built checkpoints)
+    meta["step"] = int(payload["step"])
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2, default=str)
 

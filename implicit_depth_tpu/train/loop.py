@@ -146,7 +146,8 @@ def fit(cfg: Config, kind: str = "bd", max_steps: Optional[int] = None,
     resume_step = 0
     if cfg.resume:
         try:
-            resume_step = int(ckpt_lib.load_meta(cfg.resume)["metrics"]["step"])
+            meta = ckpt_lib.load_meta(cfg.resume)
+            resume_step = int(meta.get("step", meta["metrics"]["step"]))
         except (OSError, KeyError, ValueError, TypeError):
             # older/hand-built checkpoints lack the meta step; the state's
             # own step counter equals it by construction

@@ -2,15 +2,23 @@
 # One-shot benchmark sweep on the real chip; logs land in .bench_logs/.
 # Run after any perf-relevant change (ROADMAP "benchmarks to re-run").
 # Serialise: only one process can hold the TPU.
-set -u
+set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p .bench_logs
 ts=$(date +%m%d_%H%M)
+failures=0
 
 run() {
   name=$1; shift
   echo "=== $name: $* ==="
-  timeout 1800 "$@" 2>&1 | tee ".bench_logs/${ts}_${name}.log" | tail -15
+  if timeout 1800 "$@" > ".bench_logs/${ts}_${name}.log" 2>&1; then
+    tail -15 ".bench_logs/${ts}_${name}.log"
+  else
+    rc=$?
+    failures=$((failures + 1))
+    echo "!!! $name FAILED (rc=$rc, 124=timeout) — .bench_logs/${ts}_${name}.log:"
+    tail -15 ".bench_logs/${ts}_${name}.log"
+  fi
 }
 
 run bench            python bench.py
@@ -36,4 +44,5 @@ IDT_TEMPORAL_TRACE=1 run temporal_scan python scripts/test_bd.py \
     --load_weights_from_checkpoint /tmp/rand_temporal.msgpack \
     --temporal_eval --temporal_scan --max_frames 30
 
-echo "logs in .bench_logs/${ts}_*.log"
+echo "logs in .bench_logs/${ts}_*.log ($failures failed)"
+exit $((failures > 0))

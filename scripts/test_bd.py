@@ -34,6 +34,7 @@ def main():
     import jax as _jax
 
     pid, pcount = _jax.process_index(), _jax.process_count()
+    all_scans = list(scans or [])  # full split, pre-sharding (rank-0 merge)
     if pcount > 1 and scans:
         # shard eval by scene across processes; per-scene JSONs land in
         # the shared output dir and rank 0 merges them at the end
@@ -141,14 +142,14 @@ def main():
         dist.barrier("test_bd_scenes_done")
         if pid != 0:
             return
-        import glob
-
         from implicit_depth_tpu.eval.metrics import ResultsAverager
 
         avg = ResultsAverager(cfg.name, "scene-averaged metrics (multi-host merge)")
-        for path in sorted(glob.glob(os.path.join(out_dir, "*_metrics.json"))):
-            if path.endswith("all_scenes_metrics.json"):
-                continue
+        # merge exactly THIS run's scene set — a bare glob would also
+        # average stale *_metrics.json left in the shared dir by earlier
+        # runs with a different split / scene subset
+        for scan in sorted(all_scans):
+            path = os.path.join(out_dir, f"{scan}_metrics.json")
             scene = ResultsAverager(cfg.name, "scene")
             scene.from_json(path)
             avg.update_results(scene.final_metrics)

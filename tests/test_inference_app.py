@@ -1,5 +1,7 @@
 """Matte inference + compositing e2e on synthetic data."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -22,6 +24,9 @@ def test_run_inference_saves_mattes(tmp_path):
                          method=BDNet.forward_val)
     saved = run_inference(net, variables, ds, str(tmp_path), max_frames=3)
     assert len(saved) == 3
+    # zero-padded names: composite_capture's mask lookup pads the frame
+    # number (reference inference.py:162 / composite.py:99)
+    assert os.path.basename(saved[0]) == "00000.npy", saved[0]
     matte = np.load(saved[0])
     assert matte.shape == (ds.depth_height, ds.depth_width)
     assert (matte >= 0).all() and (matte <= 1).all()

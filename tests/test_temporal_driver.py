@@ -64,6 +64,25 @@ def test_temporal_driver_with_prior(tmp_path):
     assert np.isfinite(ev_result["temporal_score"])
 
 
+def test_frame_keys_follow_matching_scale():
+    """The packed frame program carries the net's matching-scale
+    intrinsics (regression: keys were hardcoded to scales 0/1). A full
+    forward at matching_scale != 1 is not exercised: the reference's
+    ResnetMatchingEncoder is fixed at 1/4 resolution, so only scale 1 is
+    architecturally supported there too (bd_model.py:115-124)."""
+    from implicit_depth_tpu.eval.temporal_driver import _frame_keys
+
+    cur1, src1 = _frame_keys(1)
+    assert cur1 == ("world_T_cam", "cam_T_world", "K_s0", "invK_s0",
+                    "K_s1", "invK_s1")
+    assert src1 == ("world_T_cam", "cam_T_world", "K_s0", "K_s1")
+    cur2, src2 = _frame_keys(2)
+    assert "K_s2" in cur2 and "invK_s2" in cur2 and "K_s2" in src2
+    cur0, src0 = _frame_keys(0)
+    assert cur0 == ("world_T_cam", "cam_T_world", "K_s0", "invK_s0")
+    assert src0 == ("world_T_cam", "cam_T_world", "K_s0")
+
+
 @pytest.mark.slow
 def test_temporal_scan_matches_frame_mode(tmp_path):
     """The device-resident lax.scan window loop produces the same flips
