@@ -76,10 +76,28 @@ def _time_fn(jfn, args, iters: int) -> float:
 
 
 def main() -> None:
+    # watchdog: device acquisition through the axon tunnel can block
+    # FOREVER when the pool is unreachable (observed multi-hour outage).
+    # A hung bench tells the driver nothing; fail loudly instead. The
+    # timer is cancelled the moment the backend answers.
+    import threading
+
+    def _die():
+        print(json.dumps({"metric": "bd_eval_frames_per_sec", "value": None,
+                          "unit": "frames/s", "vs_baseline": None,
+                          "error": "device acquisition timed out (tunnel down?)"}),
+              flush=True)
+        os._exit(3)
+
+    watchdog = threading.Timer(420.0, _die)
+    watchdog.daemon = True
+    watchdog.start()
+
     from __graft_entry__ import entry
 
     fn, (variables, cur, src) = entry()
     dev = jax.devices()[0]
+    watchdog.cancel()
     variables = jax.device_put(variables, dev)
     cur = jax.device_put(cur, dev)
     src = jax.device_put(src, dev)
