@@ -78,25 +78,36 @@ class VDRDataset(GenericMVSDataset):
             out[f"invK_s{s}"] = np.linalg.inv(Ks).astype(np.float32)
         return out
 
+    def _color_name(self, frame: dict, frame_id) -> str:
+        """capture.json names the RGB under 'image' (vdr_sequence.py:103);
+        older captures use 'rgb'; the reference dataset itself derives
+        'frame_{id}.jpg' without reading the json (vdr_dataset.py:541)."""
+        return (frame.get("image") or frame.get("rgb")
+                or f"frame_{int(frame_id)}.jpg")
+
     def load_color(self, scan_id, frame_id):
         frame = self._capture(scan_id)[int(frame_id)]
-        path = os.path.join(self._scan_dir(scan_id), frame["rgb"])
+        path = os.path.join(self._scan_dir(scan_id),
+                            self._color_name(frame, frame_id))
         return read_image(path, height=self.image_height, width=self.image_width)
 
     def get_high_res_color_path(self, scan_id, frame_id):
         frame = self._capture(scan_id)[int(frame_id)]
-        return os.path.join(self._scan_dir(scan_id), frame["rgb"])
+        return os.path.join(self._scan_dir(scan_id),
+                            self._color_name(frame, frame_id))
 
     def _load_lidar(self, scan_id, frame_id):
         frame = self._capture(scan_id)[int(frame_id)]
         ddir = self._scan_dir(scan_id)
+        # fallback names match the reference's derivation (unpadded:
+        # vdr_dataset.py:342 depth_{id}.bin, :375 depthConfidence_{id}.bin)
         depth = np.fromfile(
-            os.path.join(ddir, frame.get("depth", f"depth_{int(frame_id):05d}.bin")),
+            os.path.join(ddir, frame.get("depth", f"depth_{int(frame_id)}.bin")),
             dtype=np.float32,
         ).reshape(-1, self.native_depth_width)
         conf = np.fromfile(
             os.path.join(ddir, frame.get("depthConfidence",
-                                         f"depthConfidence_{int(frame_id):05d}.bin")),
+                                         f"depthConfidence_{int(frame_id)}.bin")),
             dtype=np.uint8,
         ).reshape(-1, self.native_depth_width)
         depth = depth.copy()

@@ -22,7 +22,11 @@ def main():
     _, scans = get_dataset(cfg.dataset, cfg.dataset_scan_split_file,
                            cfg.single_debug_scan_id)
     scan = (scans or ["scene0"])[0]
-    ds = build_dataset(cfg, cfg.split, "bd", limit_to_scan_id=scan)
+    # pass_frame_id: mattes are saved under the tuple's REAL frame number
+    # (reference inference.py:162), which composite_capture looks up by
+    # padded capture frame name — dataset indices would misalign
+    ds = build_dataset(cfg, cfg.split, "bd", limit_to_scan_id=scan,
+                       pass_frame_id=True)
     cur, src = collate([ds[0]])
     cur = {k: jnp.asarray(v) for k, v in cur.items() if k != "frame_id_string"}
     src = {k: jnp.asarray(v) for k, v in src.items() if k != "frame_id_string"}

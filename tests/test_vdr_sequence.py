@@ -95,6 +95,58 @@ def test_composite_capture_lidar_mode(capture_dir):
     assert np.abs(right - teal).mean() < 0.08
 
 
+def test_capture_to_inference_to_composite_chain(capture_dir):
+    """The full AR pipeline off ONE raw capture dir: VDRDataset over
+    capture.json -> run_inference mattes -> composite_capture consumes
+    them by padded frame number (reference: inference/inference.py:162
+    producing, inference/composite.py:99 consuming). Locks the filename
+    contract between producer and consumer."""
+    import jax
+    import jax.numpy as jnp
+
+    from implicit_depth_tpu.apps.inference import run_inference
+    from implicit_depth_tpu.data.mvs_dataset import collate
+    from implicit_depth_tpu.data.vdr import VDRDataset
+    from implicit_depth_tpu.models.bd_net import BDNet
+
+    path, (w, h), (dw, dh) = capture_dir
+    # confidence bins (all-valid) for the dataset's lidar loader
+    for i in range(4):
+        np.full((dh, dw), 2, np.uint8).tofile(path / f"depthConfidence_{i}.bin")
+    tuples_dir = path.parent / "tuples"
+    tuples_dir.mkdir(exist_ok=True)
+    with open(tuples_dir / "test_tuples.txt", "w") as f:
+        f.write(f"{path.name} 1 0 2\n{path.name} 2 0 1\n{path.name} 3 1 2\n")
+
+    ds = VDRDataset(
+        dataset_path=str(path.parent), split="test",
+        mv_tuple_file_suffix="_tuples.txt",
+        tuple_info_file_location=str(tuples_dir),
+        image_height=64, image_width=96,  # stride-32-friendly; loader resizes
+        native_depth_width=dw, native_depth_height=dh,
+        num_images_in_tuple=3, get_bd_info=True, pass_frame_id=True,
+    )
+    net = BDNet(image_encoder_name="tiny", num_src_views=2, num_depth_bins=8)
+    cur, src = collate([ds[0]])
+    cur = {k: jnp.asarray(v) for k, v in cur.items() if k != "frame_id_string"}
+    cur["rendered_depth"] = cur["rendered_depth"][..., :1]
+    src = {k: jnp.asarray(v) for k, v in src.items() if k != "frame_id_string"}
+    variables = net.init({"params": jax.random.PRNGKey(0)}, cur, src,
+                         method=BDNet.forward_val)
+
+    mattes = path / "mattes"
+    saved = run_inference(net, variables, ds, str(mattes))
+    assert len(saved) == 3
+    assert {os.path.basename(p) for p in saved} == {"00001.npy", "00002.npy",
+                                                    "00003.npy"}
+
+    out = composite_capture(str(path), str(path / "out_chain"), mode="mask",
+                            predicted_masks_dir=str(mattes))
+    assert os.path.exists(out)
+    jpgs = [f for f in os.listdir(path / "out_chain") if f.endswith(".jpg")]
+    assert len(jpgs) >= 1  # frames whose matte exists were composited
+
+
 def test_composite_capture_mask_mode(capture_dir):
     path, (w, h), (dw, dh) = capture_dir
     masks = path / "masks"
