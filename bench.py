@@ -121,10 +121,11 @@ def main() -> None:
     except Exception:
         pass
 
-    # throughput sweep (VERDICT r2 item 1b): the chip's best operating
-    # point, not just the b=1 latency point
+    # throughput sweep (VERDICT r2 item 1b; extended to b=16/32 per
+    # VERDICT r3 item 4): the chip's best operating point, not just the
+    # b=1 latency point
     sweep = {1: round(fps1, 2)}
-    for b in (4, 8):
+    for b in (4, 8, 16, 32):
         try:
             cur_b = jax.device_put(
                 jax.tree.map(lambda x: jnp.repeat(x, b, 0), cur), dev)

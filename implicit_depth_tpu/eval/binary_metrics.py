@@ -121,20 +121,30 @@ def scores_to_dict(
     depth_planes: Sequence[float] = DEFAULT_PLANES,
     tag: Optional[str] = None,
     is_rendering: bool = False,
+    threshold_decimals: int = 1,
 ) -> dict:
     """Expands (b, d) IoU arrays into the reference's flat key scheme:
-    iou[_pos|_neg][_{thr}]_d_{plane} -> (b,) arrays."""
+    iou[_pos|_neg][_{thr}]_d_{plane} -> (b,) arrays.
+
+    threshold_decimals: the reference formats thresholds with :.1f
+    (binary_metrics_utils.py:109-121), which COLLIDES for its own
+    17-value validate_bd sweep (0.10 and 0.15 both key as "0.1", the
+    later silently overwriting the earlier). Default 1 keeps JSON parity
+    for the 5-threshold test protocol; the validation sweep passes 2 so
+    every swept threshold keeps its own scores (deliberate divergence
+    from the reference's collided sweep output)."""
     out = {}
     prefix = f"{tag}_" if tag else ""
     names = {"iou": "iou", "iou_pos": "iou_pos", "iou_neg": "iou_neg"}
     d = scores["iou"].shape[1]
+    td = threshold_decimals
     for key, name in names.items():
         for di in range(d):
             plane = -1 if is_rendering else depth_planes[di]
             if thresholds is None:
                 out[f"{prefix}{name}_d_{plane:.1f}"] = scores[key][:, di]
             else:
-                out[f"{prefix}{name}_{thresholds:.1f}_d_{plane:.1f}"] = scores[key][:, di]
+                out[f"{prefix}{name}_{thresholds:.{td}f}_d_{plane:.1f}"] = scores[key][:, di]
     return out
 
 

@@ -30,78 +30,6 @@ from implicit_depth_tpu.models.blocks import resize_bilinear
 Array = jnp.ndarray
 
 
-def make_eval_step(
-    net: BDNet,
-    thresholds: Optional[Sequence[float]] = None,
-    thresholder: Optional[bm.Thresholder] = None,
-    depth_planes: Sequence[float] = bm.DEFAULT_PLANES,
-    sigmoid_multiplier: float = 1.0,
-):
-    """Builds the jitted per-batch scorer.
-
-    thresholds: sweep mode (validate_bd.py:58-59 / PlaneEvaluator default).
-    thresholder: test mode with tuned per-plane thresholds
-    (test_bd.py:92-103).
-    """
-
-    def step(variables, cur_data, src_data):
-        out = net.apply(variables, cur_data, src_data, method=BDNet.forward_val)
-        logits = out["pred_0"]  # (b, h0, w0, P)
-        pred = jax.nn.sigmoid(sigmoid_multiplier * logits.astype(jnp.float32))
-
-        gt = cur_data["depth"]  # (b, hd, wd, 1) NaN invalid
-        query = cur_data["rendered_depth"]
-
-        # upsample pred & queries to GT resolution (test_bd.py:238-264)
-        hd, wd = gt.shape[1], gt.shape[2]
-        if pred.shape[1] != hd:
-            pred = resize_bilinear(pred, hd, wd)
-            query = resize_bilinear(query, hd, wd)
-
-        surface = bm.get_surface_mask(gt, query)
-        boundary = bm.get_boundary_mask(gt, query)
-
-        scores = {}
-        if thresholder is not None:
-            thr = thresholder.get_thresholds(query)
-            for tag, extra in ((None, None), ("surface", surface), ("boundary", boundary)):
-                s = bm.plane_scores(query, gt, pred, thr, extra_mask_bhwd=extra)
-                scores.update(bm.scores_to_dict(s, None, depth_planes, tag=tag))
-        else:
-            for t in (thresholds or bm.DEFAULT_THRESHOLDS):
-                s = bm.plane_scores(query, gt, pred, float(t))
-                scores.update(bm.scores_to_dict(s, float(t), depth_planes))
-        return scores
-
-    return jax.jit(step)
-
-
-def make_depth_eval_step(net: BDNet, thresholder: Optional[bm.Thresholder] = None):
-    """Depth-from-binary eval (test_bd.py:266-285): bisection depths scored
-    with the standard depth metrics, valid where gt > 0.5 m."""
-
-    tb = None if thresholder is None else thresholder.bins
-    tv = None if thresholder is None else thresholder.thresholds
-
-    def step(variables, cur_data, src_data):
-        out = net.apply(
-            variables, cur_data, src_data,
-            method=BDNet.forward_infer_depth,
-            threshold_bins=tb, threshold_values=tv,
-        )
-        pred = out["search_depths"][..., None]
-        gt = cur_data["depth"]
-        b = gt.shape[0]
-        valid = jnp.nan_to_num(gt, nan=0.0) > 0.5
-        return compute_depth_metrics_batched(
-            jnp.nan_to_num(gt, nan=1.0).reshape(b, -1),
-            pred.reshape(b, -1),
-            valid.reshape(b, -1),
-        )
-
-    return jax.jit(step)
-
-
 def make_forward_fn(
     net: BDNet,
     binary_eval_depth: bool = False,
@@ -141,6 +69,7 @@ def make_score_fn(
     thresholds: Optional[Sequence[float]] = None,
     thresholder: Optional[bm.Thresholder] = None,
     depth_planes: Sequence[float] = bm.DEFAULT_PLANES,
+    threshold_decimals: int = 1,
 ):
     """Jitted scorer over an already-computed prediction (the part the
     reference runs un-timed after the forward, test_bd.py:238-318)."""
@@ -175,7 +104,9 @@ def make_score_fn(
         else:
             for t in (thresholds or bm.DEFAULT_THRESHOLDS):
                 s = bm.plane_scores(query, gt, pred_r, float(t))
-                scores.update(bm.scores_to_dict(s, float(t), depth_planes))
+                scores.update(bm.scores_to_dict(
+                    s, float(t), depth_planes,
+                    threshold_decimals=threshold_decimals))
         return scores
 
     return jax.jit(score)
@@ -207,6 +138,7 @@ def evaluate_scenes(
     max_batches_per_scene: Optional[int] = None,
     cache_dir: Optional[str] = None,
     sigmoid_multiplier: float = 1.0,
+    threshold_decimals: int = 1,
 ) -> dict:
     """Runs the full per-scene evaluation loop (test_bd.py:123-499).
 
@@ -218,7 +150,8 @@ def evaluate_scenes(
                           thresholder=thresholder,
                           sigmoid_multiplier=sigmoid_multiplier)
     score = make_score_fn(binary_eval_depth=binary_eval_depth,
-                          thresholds=thresholds, thresholder=thresholder)
+                          thresholds=thresholds, thresholder=thresholder,
+                          threshold_decimals=threshold_decimals)
     # the ~100 per-frame metrics leave the device as ONE stacked (b, n)
     # array — per-key readbacks cost a host round-trip each, which
     # dominates wall time through a remote-device tunnel

@@ -43,6 +43,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=12)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--parity", action="store_true",
+                    help="assert fused-vs-unfused gradient parity on this backend")
     args = ap.parse_args()
 
     from implicit_depth_tpu.core import geometry
@@ -175,6 +177,27 @@ def main():
                                  iters=args.iters)
     for k_, v_ in r.items():
         print(f"{k_:>14}: {v_:8.1f} ms  ({v_ / args.batch:6.2f} ms/sample)")
+
+    if args.parity:
+        # on-chip gradient parity: the compiled fused Pallas backward vs
+        # the unfused XLA-chain vjp (same bf16 compute dtype, same inputs).
+        # Both linearise slightly different op orders at bf16 precision, so
+        # the bound is rms-style, matching the f32-oracle distances recorded
+        # in BASELINE.md (max rms ~1.3e-2).
+        gf = jax.block_until_ready(f_fused_full_vjp(params, m_cur, m_src, ct))
+        gu = jax.block_until_ready(f_unfused_vjp(params, m_cur, m_src, ct))
+        worst = 0.0
+        for tf_, tu_ in zip(jax.tree.leaves(gf), jax.tree.leaves(gu)):
+            a_ = np.asarray(tf_, dtype=np.float64)
+            b_ = np.asarray(tu_, dtype=np.float64)
+            denom = np.sqrt(np.mean(b_ ** 2)) + 1e-8
+            rel_rms = float(np.sqrt(np.mean((a_ - b_) ** 2)) / denom)
+            worst = max(worst, rel_rms)
+            print(f"  parity leaf {tuple(a_.shape)}: rel_rms={rel_rms:.3e}")
+        backend = jax.default_backend()
+        assert worst < 5e-2, f"on-chip gradient parity FAILED: rel_rms={worst}"
+        print(f"gradient parity OK on backend={backend}: "
+              f"worst rel_rms={worst:.3e} (bound 5e-2)")
 
 
 if __name__ == "__main__":

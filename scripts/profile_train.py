@@ -98,7 +98,10 @@ def main():
                       feature_volume_type="zero_cost_volume", train_bn=True)
     vars_zero = _init_variables(init_zero, jax.tree.map(lambda x: x[:1], cur),
                                 jax.tree.map(lambda x: x[:1], src))
-    vars_zero = jax.device_put(vars_zero, dev)
+    # host-side copy: the donated zero-volume probe invalidates its state's
+    # device buffers, and state_zero aliases vars_zero if it lives on-device
+    # (observed: device_get(vars_zero) after donation -> TPU InvalidArgument)
+    vars_zero = jax.device_get(vars_zero)
     state_zero = jax.device_put(
         state_lib.create_train_state(vars_zero, tx), dev)
     step_zero = jax.jit(state_lib.make_bd_train_step(net_zero), donate_argnums=(0,))
@@ -130,7 +133,7 @@ def main():
         return state.apply_gradients(grads, new_bs), {"loss": loss}
 
     state_zero2 = jax.device_put(
-        state_lib.create_train_state(jax.device_get(vars_zero), tx), dev)
+        state_lib.create_train_state(vars_zero, tx), dev)
     step_trunk = jax.jit(trunk_zero_step, donate_argnums=(0,))
     results["trunk_zero"] = _time_step(step_trunk, state_zero2, batch, rng, args.iters)
     print(f"{'trunk-only (zero vol)':>22}: {results['trunk_zero']:8.1f} ms", flush=True)

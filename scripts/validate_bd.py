@@ -36,17 +36,22 @@ def main():
     assert cfg.load_weights_from_checkpoint, "--load_weights_from_checkpoint required"
     variables = ckpt_lib.load_params(cfg.load_weights_from_checkpoint, variables)
 
+    # 17 thresholds 0.1..0.9 (validate_bd.py:58-59). The reference keys
+    # these with :.1f, which collides adjacent sweep values (0.10/0.15 both
+    # -> "iou_0.1_*", the later overwriting the earlier) — here every swept
+    # threshold keeps distinct 2-decimal keys so the argmax is real.
     thresholds = np.linspace(0.1, 0.9, 17)
     out_dir = os.path.join(cfg.output_base_path, cfg.name, "val_sweep")
     results = evaluate_scenes(net, variables, datasets, output_dir=out_dir,
                               batch_size=cfg.val_batch_size, name=cfg.name,
-                              thresholds=tuple(thresholds))
+                              thresholds=tuple(thresholds),
+                              threshold_decimals=2)
     avg = results["all_scene"]
     avg.compute_final_average(ignore_nans=True)
     planes = [1.5 + 0.5 * i for i in range(8)]
     best = []
     for d in planes:
-        scores = [(avg.final_metrics[f"iou_{t:.1f}_d_{d:.1f}"], t) for t in thresholds]
+        scores = [(avg.final_metrics[f"iou_{t:.2f}_d_{d:.1f}"], t) for t in thresholds]
         best.append(max(scores)[1])
     print("best per-plane thresholds:", [f"{b:.2f}" for b in best])
 
