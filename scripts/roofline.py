@@ -238,7 +238,7 @@ def main():
         {k: v for k, v in cur.items()}, {k: v for k, v in src.items()})
     vol_ms = cum["volume"]["ms"] - cum["matching"]["ms"]
     vol_s = vol_ms / 1e3
-    mxu_tf = hc["mxu_gflop"] / 1e9 / vol_s * 1e9 / 1e12 if vol_s > 0 else 0.0
+    mxu_tf = hc["mxu_gflop"] / vol_s / 1e3 if vol_s > 0 else 0.0  # GFLOP/s -> TFLOP/s
     mxu_pct = 100.0 * mxu_tf * 1e12 / peak_flops if peak_flops else float("nan")
     floor_ms = hc["mxu_gflop"] * 1e9 / peak_flops * 1e3 if peak_flops else float("nan")
     print("\nfused volume kernel (hand-counted MXU ops; XLA cost analysis "
