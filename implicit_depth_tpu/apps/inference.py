@@ -48,6 +48,9 @@ def run_inference(
 ) -> list[str]:
     """Sequential per-frame matting; returns saved file paths."""
     os.makedirs(output_dir, exist_ok=True)
+    # commit the params once — host-resident params re-cross the
+    # host->device link on EVERY jitted dispatch otherwise
+    variables = jax.device_put(variables, jax.local_devices()[0])
 
     @jax.jit
     def step(variables, cur, src):

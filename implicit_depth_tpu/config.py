@@ -102,6 +102,7 @@ class Config:
     single_debug_scan_id: Optional[str] = None
     skip_frames: Optional[int] = None
     max_frames: Optional[int] = None
+    synthetic_num_frames: int = 16  # synthetic fixture sequence length
     mask_pred_depth: bool = False
     cache_depths: bool = False
     high_res_validation: bool = False

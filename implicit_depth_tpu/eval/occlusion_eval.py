@@ -146,6 +146,9 @@ def evaluate_scenes(
     Returns {"all_scene": ResultsAverager, "scenes": {id: averager},
              "model_time_ms": float}.
     """
+    # commit the params once — host-resident params re-cross the
+    # host->device link on EVERY jitted dispatch otherwise
+    variables = jax.device_put(variables, jax.local_devices()[0])
     fwd = make_forward_fn(net, binary_eval_depth=binary_eval_depth,
                           thresholder=thresholder,
                           sigmoid_multiplier=sigmoid_multiplier)

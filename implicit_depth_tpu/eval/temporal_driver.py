@@ -158,6 +158,7 @@ def evaluate_temporal(
     max_frames_per_scene: Optional[int] = None,
     regression: bool = False,
     use_scan: bool = False,
+    collect_preds: bool = False,
 ) -> dict:
     """With regression=True the net is a DepthNet and the occlusion
     probability is the hard classifier (rendered < predicted depth)
@@ -168,6 +169,11 @@ def evaluate_temporal(
     the scan carry) instead of one dispatch per frame."""
     ev = TemporalEvaluator(height=height, width=width)
     cur_keys, src_keys = _frame_keys(getattr(net, "matching_scale", 1))
+    # Commit the params to the device ONCE. Host-resident params (e.g.
+    # flax from_bytes output) would re-cross the host->device link on
+    # every jitted dispatch — ~200 MB per window through a remote tunnel
+    # dominated the measured frame time (6-8 s/window) before this.
+    variables = jax.device_put(variables, jax.local_devices()[0])
 
     # ---- whole-frame jitted program: ONE dispatch per frame.
     # Everything except the (cached, upload-once) images and the fed-back
@@ -243,6 +249,9 @@ def evaluate_temporal(
 
     on_tpu = jax.default_backend() not in ("cpu",)
     frame_times: list = []
+    # collect_preds: per-frame (h, w) sigmoid maps, in frame order — the
+    # scan-vs-frame-mode parity oracle (tests + on-chip verification)
+    collected: list = []
     import os as _os
     trace_stages = _os.environ.get("IDT_TEMPORAL_TRACE", "") in ("1", "2")
 
@@ -300,6 +309,8 @@ def evaluate_temporal(
                 t_visupd = time.perf_counter()
                 preds_np = np.asarray(preds).astype(np.float32)  # sync
                 t_sync = time.perf_counter()
+                if collect_preds:
+                    collected.extend(list(preds_np))
                 pending = (preds_np, metas, depth0, cur_h0["world_T_cam"])
                 frame_times.extend([(time.perf_counter() - t_win) / l_w] * l_w)
                 if trace_stages:
@@ -320,7 +331,8 @@ def evaluate_temporal(
         return {"temporal_score": score, "total_diffs": ev.total_diffs,
                 "total_verts": ev.total_verts,
                 "frames_per_sec": (1.0 / med) if med else 0.0,
-                "n_frames": len(frame_times), "frame_times": frame_times}
+                "n_frames": len(frame_times), "frame_times": frame_times,
+                **({"preds": collected} if collect_preds else {})}
 
     for scene_id, ds in datasets_by_scene.items():
         ev.initialise_new_scene(gt_mesh_path=mesh_paths_by_scene[scene_id])
@@ -373,6 +385,8 @@ def evaluate_temporal(
             t_visupd = time.perf_counter()
             pred_np = np.asarray(pred)[0, ..., 0]  # sync
             t_sync = time.perf_counter()
+            if collect_preds:
+                collected.append(pred_np.astype(np.float32))
             pending = (pred_np, cur_h["cam_T_world"], cur_h["K_s0"])
             prior_pred = pred
             prior_pose = cur_h["cam_T_world"]
@@ -405,4 +419,5 @@ def evaluate_temporal(
     return {"temporal_score": score, "total_diffs": ev.total_diffs,
             "total_verts": ev.total_verts,
             "frames_per_sec": (1.0 / med) if med else 0.0,
-            "n_frames": len(frame_times), "frame_times": frame_times}
+            "n_frames": len(frame_times), "frame_times": frame_times,
+            **({"preds": collected} if collect_preds else {})}

@@ -84,7 +84,8 @@ def build_dataset(cfg: Config, split: str, kind: str, limit_to_scan_id=None,
         for k in ("mv_tuple_file_suffix", "tuple_info_file_location",
                   "num_images_in_tuple", "limit_to_scan_id", "skip_frames"):
             kwargs.pop(k, None)
-        return cls(num_views=cfg.model_num_views, **kwargs)
+        return cls(num_views=cfg.model_num_views,
+                   num_frames=cfg.synthetic_num_frames, **kwargs)
     return cls(dataset_path=cfg.dataset_path, **kwargs)
 
 

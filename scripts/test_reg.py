@@ -90,6 +90,8 @@ def main():
                 variables = net.init({"params": jax.random.PRNGKey(0)}, cur, src)
                 assert cfg.load_weights_from_checkpoint, "--load_weights_from_checkpoint required"
                 variables = ckpt_lib.load_params(cfg.load_weights_from_checkpoint, variables)
+                # commit once; host-resident params re-upload every dispatch
+                variables = jax.device_put(variables, jax.local_devices()[0])
             metrics = step(variables, cur, src)
             metrics = {k: np.asarray(v) for k, v in metrics.items()}
             for i in range(len(next(iter(metrics.values())))):

@@ -103,12 +103,16 @@ def test_temporal_scan_matches_frame_mode(tmp_path):
                   height=ds.depth_height, width=ds.depth_width,
                   max_frames_per_scene=7)
     r_frame = evaluate_temporal(net, variables, {"scene0": ds}, {"scene0": mesh},
-                                **kwargs)
+                                collect_preds=True, **kwargs)
     r_scan = evaluate_temporal(net, variables, {"scene0": ds}, {"scene0": mesh},
-                               use_scan=True, **kwargs)
+                               use_scan=True, collect_preds=True, **kwargs)
     assert r_scan["total_verts"] == r_frame["total_verts"]
     assert r_scan["total_diffs"] == r_frame["total_diffs"]
     np.testing.assert_allclose(r_scan["temporal_score"], r_frame["temporal_score"])
+    # the per-frame sigmoid maps themselves match, not just the flip count
+    assert len(r_scan["preds"]) == len(r_frame["preds"]) == 7
+    for a, b in zip(r_scan["preds"], r_frame["preds"]):
+        np.testing.assert_allclose(a, b, atol=1e-5)
 
 
 @pytest.mark.slow
