@@ -272,34 +272,47 @@ class BDNet(nn.Module):
 
         outputs = {"target_depth": target, "query_depth": depths}
 
-        model_inputs = []
+        sampled_feats, sub_depths_all, priors = [], [], []
         for scale in SCALES:
             feat = features[scale]
             sub_grid = grid[:, :: (scale + 1)]
             sub_depths = depths[:, :: (scale + 1)]
             sampled_feat = grid_sample(feat, sub_grid[:, :, None], mode="bilinear")[:, :, 0]
-            # (b, N', C) -> broadcast across samples
-            sampled_feat = jnp.broadcast_to(
-                sampled_feat[:, :, None, :],
-                sub_depths.shape + (sampled_feat.shape[-1],),
-            )
-            x = jnp.concatenate(
-                [sub_depths[..., None].astype(sampled_feat.dtype), sampled_feat], axis=-1
-            )  # (b, N', S, 1 + C)
+            sampled_feats.append(sampled_feat)  # (b, N', C)
+            sub_depths_all.append(sub_depths)   # (b, N', S)
             if self.use_prior:
                 sub_target = target[:, :: (scale + 1)]
-                prior = (sub_depths < sub_target[..., None]).astype(x.dtype)
+                dt = sampled_feat.dtype
+                prior = (sub_depths < sub_target[..., None]).astype(dt)
                 rng = self.make_rng("aug")
                 r_off, r_aug = jax.random.split(rng)
-                offset = jax.random.uniform(r_off, prior.shape, x.dtype) * 0.45
+                offset = jax.random.uniform(r_off, prior.shape, dt) * 0.45
                 prior = jnp.where(prior == 1.0, prior - offset, prior + offset)
-                p = jax.random.uniform(r_aug, prior.shape, x.dtype)
+                p = jax.random.uniform(r_aug, prior.shape, dt)
                 prior = jnp.where(p < 0.5, 1.0 - prior, prior)
                 prior = jnp.where(p < 0.25, -1.0, prior)
-                x = jnp.concatenate([x, prior[..., None]], axis=-1)
-            model_inputs.append(x)
+                priors.append(prior)
 
-        preds = self.binary_mlp(model_inputs)
+        if self.is_initializing():
+            # materialise params with the reference concat layout
+            model_inputs = []
+            for i in range(len(SCALES)):
+                x = jnp.concatenate(
+                    [sub_depths_all[i][..., None].astype(sampled_feats[i].dtype),
+                     jnp.broadcast_to(
+                         sampled_feats[i][:, :, None, :],
+                         sub_depths_all[i].shape + (sampled_feats[i].shape[-1],))],
+                    axis=-1)
+                if self.use_prior:
+                    x = jnp.concatenate([x, priors[i][..., None]], axis=-1)
+                model_inputs.append(x)
+            preds = self.binary_mlp(model_inputs)
+        else:
+            # factored fc0: per-ray feature matmul broadcast across the S
+            # samples — exact algebra, skips the (b, N, S, C+2) concat
+            preds = self.binary_mlp.factored(
+                sampled_feats, sub_depths_all,
+                priors if self.use_prior else None)
         outputs.update({k: v[..., 0] for k, v in preds.items()})  # (b, N', S)
         return outputs
 

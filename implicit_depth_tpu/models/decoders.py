@@ -13,7 +13,7 @@ Parity targets:
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -160,4 +160,36 @@ class BinaryMLPNetwork(nn.Module):
             x = nn.elu(nn.Dense(self.mlp_size, name=f"s{s}_fc0", dtype=self.dtype)(x))
             x = nn.elu(nn.Dense(self.mlp_size, name=f"s{s}_fc1", dtype=self.dtype)(x))
             outputs[f"pred_{s}"] = nn.Dense(1, name=f"s{s}_fc2", dtype=self.dtype)(x)
+        return outputs
+
+    def factored(self, feats: Sequence[Array], depths: Sequence[Array],
+                 priors: Optional[Sequence[Array]] = None) -> dict:
+        """Same map as __call__ on concat([depth, feat, prior]) inputs,
+        with fc0 distributed over the concat: the feature term is computed
+        ONCE per ray and broadcast across the S depth samples instead of
+        re-multiplying the (C,128) block for every sample. Exact algebra
+        (fc0 is linear); avoids materialising the (b, N, S, C+2) concat
+        that dominates the train query head's HBM traffic on TPU.
+
+        feats[s]: (b, N_s, C_s) per-ray features; depths[s]: (b, N_s, S);
+        priors[s]: (b, N_s, S) or None. Row layout of the fc0 kernel
+        matches the reference concat order [depth, feat..., prior]
+        (bd_model.py:313-393). Params must already exist (__call__ ran at
+        init)."""
+        outputs = {}
+        for s in range(len(feats)):
+            w0 = self.get_variable("params", f"s{s}_fc0")
+            w1 = self.get_variable("params", f"s{s}_fc1")
+            w2 = self.get_variable("params", f"s{s}_fc2")
+            feat = feats[s]
+            dt = feat.dtype if self.dtype is None else self.dtype
+            k0 = w0["kernel"].astype(dt)
+            c = feat.shape[-1]
+            fp = feat.astype(dt) @ k0[1: 1 + c] + w0["bias"].astype(dt)
+            h = fp[:, :, None, :] + depths[s][..., None].astype(dt) * k0[0]
+            if priors is not None:
+                h = h + priors[s][..., None].astype(dt) * k0[1 + c]
+            h = nn.elu(h)
+            h = nn.elu(h @ w1["kernel"].astype(dt) + w1["bias"].astype(dt))
+            outputs[f"pred_{s}"] = h @ w2["kernel"].astype(dt) + w2["bias"].astype(dt)
         return outputs
