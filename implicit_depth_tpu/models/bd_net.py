@@ -309,10 +309,16 @@ class BDNet(nn.Module):
             preds = self.binary_mlp(model_inputs)
         else:
             # factored fc0: per-ray feature matmul broadcast across the S
-            # samples — exact algebra, skips the (b, N, S, C+2) concat
+            # samples — exact algebra, skips the (b, N, S, C+2) concat.
+            # On TPU the remaining per-sample MLP runs as the fused
+            # Pallas ray-head kernel (ops/ray_head.py). mesh gating
+            # mirrors the fused-volume path: under a device mesh the
+            # pallas_call cannot be auto-partitioned, so the XLA chain
+            # (which XLA shards trivially over batch) is used instead.
             preds = self.binary_mlp.factored(
                 sampled_feats, sub_depths_all,
-                priors if self.use_prior else None)
+                priors if self.use_prior else None,
+                use_pallas=self.use_pallas_warp and self.mesh is None)
         outputs.update({k: v[..., 0] for k, v in preds.items()})  # (b, N', S)
         return outputs
 

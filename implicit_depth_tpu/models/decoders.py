@@ -163,7 +163,8 @@ class BinaryMLPNetwork(nn.Module):
         return outputs
 
     def factored(self, feats: Sequence[Array], depths: Sequence[Array],
-                 priors: Optional[Sequence[Array]] = None) -> dict:
+                 priors: Optional[Sequence[Array]] = None,
+                 use_pallas: bool = False) -> dict:
         """Same map as __call__ on concat([depth, feat, prior]) inputs,
         with fc0 distributed over the concat: the feature term is computed
         ONCE per ray and broadcast across the S depth samples instead of
@@ -175,7 +176,13 @@ class BinaryMLPNetwork(nn.Module):
         priors[s]: (b, N_s, S) or None. Row layout of the fc0 kernel
         matches the reference concat order [depth, feat..., prior]
         (bd_model.py:313-393). Params must already exist (__call__ ran at
-        init)."""
+        init).
+
+        With use_pallas=True (TPU training path) the per-sample chain
+        elu(fp + d*k0_d [+ p*k0_p]) -> fc1 -> elu -> fc2 runs as the fused
+        Pallas kernel ops/ray_head.py::ray_head_mlp (custom VJP, hiddens
+        never touch HBM); requires mlp_size == 128."""
+        pallas_ok = use_pallas and self.mlp_size == 128
         outputs = {}
         for s in range(len(feats)):
             w0 = self.get_variable("params", f"s{s}_fc0")
@@ -186,6 +193,17 @@ class BinaryMLPNetwork(nn.Module):
             k0 = w0["kernel"].astype(dt)
             c = feat.shape[-1]
             fp = feat.astype(dt) @ k0[1: 1 + c] + w0["bias"].astype(dt)
+            if pallas_ok:
+                from implicit_depth_tpu.ops.ray_head import ray_head_mlp
+
+                kern = w0["kernel"]
+                pred = ray_head_mlp(
+                    fp, depths[s],
+                    priors[s] if priors is not None else None,
+                    kern[0], kern[1 + c] if priors is not None else None,
+                    w1["kernel"], w1["bias"], w2["kernel"], w2["bias"])
+                outputs[f"pred_{s}"] = pred[..., None]
+                continue
             h = fp[:, :, None, :] + depths[s][..., None].astype(dt) * k0[0]
             if priors is not None:
                 h = h + priors[s][..., None].astype(dt) * k0[1 + c]
