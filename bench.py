@@ -75,6 +75,20 @@ def _time_fn(jfn, args, iters: int) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def _time_min_of_blocks(jfn, args, iters: int, blocks: int = 3):
+    """Min + spread over independent timing blocks (VERDICT r4 item 1).
+
+    A single 50-iteration block is vulnerable to one-off host/tunnel
+    contention (BENCH_r04 recorded 108.85 ms for a 13 ms forward that
+    its own sweep contradicted). The min of several blocks is the
+    latency the hardware actually delivers; the spread is recorded so a
+    noisy run is visible in the artifact instead of silently becoming
+    the headline.
+    """
+    times = [_time_fn(jfn, args, iters) for _ in range(blocks)]
+    return min(times), times
+
+
 def main() -> None:
     # watchdog: device acquisition through the axon tunnel can block
     # FOREVER when the pool is unreachable (observed multi-hour outage).
@@ -105,21 +119,10 @@ def main() -> None:
     jfn = jax.jit(lambda v, c, s: jax.tree.map(
         lambda x: jnp.sum(x.astype(jnp.float32)), fn(v, c, s)))
 
-    # b=1 latency point (the reference's model_time protocol) + FLOPs
-    dt1 = _time_fn(jfn, (variables, cur, src), ITERS)
+    # b=1 latency point (the reference's model_time protocol) + FLOPs:
+    # min of >=3 independent blocks, spread recorded
+    dt1, b1_blocks = _time_min_of_blocks(jfn, (variables, cur, src), ITERS)
     fps1 = 1.0 / dt1
-
-    mfu = None
-    try:
-        cost = jfn.lower(variables, cur, src).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        peak = _peak_flops()
-        if flops and peak:
-            mfu = round(100.0 * flops / dt1 / peak, 2)
-    except Exception:
-        pass
 
     # throughput sweep (VERDICT r2 item 1b; extended to b=16/32 per
     # VERDICT r3 item 4): the chip's best operating point, not just the
@@ -137,6 +140,36 @@ def main() -> None:
             sweep[b] = None
     best_b = max((b for b in sweep if sweep[b]), key=lambda b: sweep[b])
 
+    # self-consistency guard (VERDICT r4 item 1): batching can only
+    # amortise per-dispatch cost, so the b=1 latency must not exceed ~2x
+    # the per-frame latency the b=4 sweep point implies. If it does, the
+    # b=1 blocks hit host/tunnel contention — re-measure and record the
+    # flag so the artifact carries its own health signal.
+    contention = False
+    if sweep.get(4):
+        implied = 1.0 / sweep[4]  # seconds/frame at b=4
+        if dt1 > 2.0 * implied:
+            contention = True
+            dt1_retry, retry_blocks = _time_min_of_blocks(
+                jfn, (variables, cur, src), ITERS)
+            b1_blocks += retry_blocks
+            dt1 = min(dt1, dt1_retry)
+            fps1 = 1.0 / dt1
+            sweep[1] = round(fps1, 2)
+            contention = dt1 > 2.0 * implied  # still bad after retry?
+
+    mfu = None
+    try:
+        cost = jfn.lower(variables, cur, src).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        peak = _peak_flops()
+        if flops and peak:
+            mfu = round(100.0 * flops / dt1 / peak, 2)
+    except Exception:
+        pass
+
     base = _baseline_fps()
     print(json.dumps({
         "metric": "bd_eval_frames_per_sec",
@@ -145,6 +178,8 @@ def main() -> None:
         # measured PyTorch-reference-on-host-CPU denominator (see docstring)
         "vs_baseline": round(fps1 / base, 2) if base else None,
         "latency_ms_b1": round(dt1 * 1000.0, 2),
+        "b1_block_spread_ms": [round(t * 1000.0, 2) for t in b1_blocks],
+        "b1_contention_flag": contention,
         "mfu_pct_b1": mfu,
         "throughput_sweep_fps": {str(b): v for b, v in sweep.items()},
         "best_batch": best_b,
