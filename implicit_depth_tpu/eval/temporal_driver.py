@@ -97,14 +97,22 @@ class _TupleStager:
     def prefetch(self, idx: int) -> None:
         """Decodes tuple idx's frames on a background thread (PIL/numpy
         release the GIL for the heavy parts)."""
-        if idx >= len(self.ds.frame_tuples):
+        self.prefetch_many((idx,))
+
+    def prefetch_many(self, indices) -> None:
+        """Decodes several tuples' frames on ONE background thread — used
+        by the scan driver to stage the whole NEXT window while the device
+        executes the current window's scan."""
+        items = [self._tuple_ids(i) for i in indices
+                 if 0 <= i < len(self.ds.frame_tuples)]
+        if not items:
             return
         self.join()
-        scan_id, ids = self._tuple_ids(idx)
 
         def work():
-            for fid in ids:
-                self._host_frame(scan_id, fid)
+            for scan_id, ids in items:
+                for fid in ids:
+                    self._host_frame(scan_id, fid)
 
         self._thread = threading.Thread(target=work, daemon=True)
         self._thread.start()
@@ -159,6 +167,7 @@ def evaluate_temporal(
     regression: bool = False,
     use_scan: bool = False,
     collect_preds: bool = False,
+    device_scoring: Optional[bool] = None,
 ) -> dict:
     """With regression=True the net is a DepthNet and the occlusion
     probability is the hard classifier (rendered < predicted depth)
@@ -166,7 +175,14 @@ def evaluate_temporal(
 
     use_scan=True runs each plane window as a device-resident
     jax.lax.scan (ONE dispatch per eval_length frames, prior feedback in
-    the scan carry) instead of one dispatch per frame."""
+    the scan carry) instead of one dispatch per frame.
+
+    device_scoring (scan mode only; default on unless collect_preds):
+    the vertex project+sample and the window flip count run ON DEVICE
+    (eval/vertex_scorer.py) — the host only rasterizes the (h, w)
+    z-buffers (C++), and per window a single flip-count scalar crosses
+    back, one window late. Removes the (L, h, w) prediction download and
+    the million-vertex host sampling loop from the steady-state path."""
     ev = TemporalEvaluator(height=height, width=width)
     cur_keys, src_keys = _frame_keys(getattr(net, "matching_scale", 1))
     # Commit the params to the device ONCE. Host-resident params (e.g.
@@ -256,8 +272,14 @@ def evaluate_temporal(
     trace_stages = _os.environ.get("IDT_TEMPORAL_TRACE", "") in ("1", "2")
 
     if use_scan:
+        if device_scoring is None:
+            device_scoring = not collect_preds
+        from implicit_depth_tpu.eval.rasterizer import rasterize_mesh_depth
+        from implicit_depth_tpu.eval.vertex_scorer import DeviceVertexScorer
+
         # window-granular pipeline: while the device scans window W, the
-        # host applies window W-1's vertex-visibility updates.
+        # host applies window W-1's vertex-visibility updates (host
+        # scoring) or rasterizes window W's z-buffers (device scoring).
         def apply_window(preds_np, metas, depth0, world_T_cam0):
             ev.initialise_new_plane(depth0, world_T_cam0)
             for pred_hw, (cam_T_world, K_s0) in zip(preds_np, metas):
@@ -267,10 +289,13 @@ def evaluate_temporal(
         for scene_id, ds in datasets_by_scene.items():
             ev.initialise_new_scene(gt_mesh_path=mesh_paths_by_scene[scene_id])
             stager = _TupleStager(ds, dtype=jnp.bfloat16 if on_tpu else jnp.float32)
+            scorer = (DeviceVertexScorer(ev.verts, height, width)
+                      if device_scoring else None)
             n = len(ds) if max_frames_per_scene is None else min(len(ds), max_frames_per_scene)
             no_prior = jax.device_put(
                 -jnp.ones((1, height, width, 1), jnp.float32), jax.devices()[0])
             pending: Optional[tuple] = None
+            pending_flips = None  # device scalar, drained one window late
             stager.prefetch(0)
             i = 0
             while i < n:
@@ -279,7 +304,8 @@ def evaluate_temporal(
                 frames = []
                 for j in range(i, i + l_w):
                     frames.append(stager.get(j))
-                    stager.prefetch(j + 1)
+                    if scorer is None:
+                        stager.prefetch(j + 1)
                 cur_h0, _, _, _, depth0 = frames[0]
                 anchor = np.asarray(cur_h0["world_T_cam"], np.float64)
                 dist = float(np.nanquantile(depth0, 0.75))
@@ -304,6 +330,46 @@ def evaluate_temporal(
                     jnp.asarray(np.stack(packs)), no_prior,
                     jnp.asarray(np.asarray(cur_h0["cam_T_world"], np.float32)))
                 t_dispatch = time.perf_counter()
+                if scorer is not None:
+                    # decode the NEXT window's frames while the device
+                    # scans this one; rasterize this window's z-buffers
+                    # (the only remaining host compute) meanwhile
+                    stager.prefetch_many(range(i + l_w, i + 2 * l_w))
+                    zbufs = np.stack([
+                        rasterize_mesh_depth(ev.verts, ev.faces, m[0], m[1],
+                                             height, width)
+                        for m in metas])
+                    t_raster = time.perf_counter()
+                    flips = (scorer.window_flips(
+                        preds.reshape(l_w, height, width)
+                        if preds.ndim != 3 else preds,
+                        zbufs,
+                        np.stack([np.asarray(m[0], np.float32) for m in metas]),
+                        np.stack([np.asarray(m[1], np.float32) for m in metas]))
+                        if l_w >= 2 else None)
+                    # drain LAST window's flip count: a one-deep pipeline —
+                    # this waits only for work that overlapped this
+                    # window's staging, never for the current window
+                    if pending_flips is not None:
+                        ev.total_diffs += float(pending_flips)
+                    pending_flips = flips
+                    if l_w >= 2:
+                        ev.total_verts += scorer.n_verts
+                    t_score = time.perf_counter()
+                    if collect_preds:
+                        collected.extend(
+                            list(np.asarray(preds).astype(np.float32)))
+                    frame_times.extend([(time.perf_counter() - t_win) / l_w] * l_w)
+                    if trace_stages:
+                        print(
+                            f"window {i}..{i + l_w}: stage={t_staged - t_win:.3f} "
+                            f"dispatch={t_dispatch - t_staged:.3f} "
+                            f"raster={t_raster - t_dispatch:.3f} "
+                            f"score_drain={t_score - t_raster:.3f} "
+                            f"per_frame={(time.perf_counter() - t_win) / l_w:.3f}",
+                            flush=True)
+                    i += l_w
+                    continue
                 if pending is not None:
                     apply_window(*pending)
                 t_visupd = time.perf_counter()
@@ -324,6 +390,8 @@ def evaluate_temporal(
                 i += l_w
             if pending is not None:
                 apply_window(*pending)
+            if pending_flips is not None:
+                ev.total_diffs += float(pending_flips)
 
         score = ev.temporal_score(len(datasets_by_scene), eval_length, warmup,
                                   frame_multiplier)

@@ -139,3 +139,62 @@ def test_temporal_evaluator_flicker_counting():
     # all 4 quad vertices visible; exactly one flip each
     assert ev.total_diffs == 4.0
     assert ev.temporal_score(n_scans=1) == 4.0 / (13 * 8)
+
+
+def test_device_vertex_scorer_matches_cpp_fused():
+    """eval/vertex_scorer.py frame sampling == the fused C++
+    sample_vertex_predictions on a random mesh / camera / prediction."""
+    from implicit_depth_tpu.eval.vertex_scorer import DeviceVertexScorer
+
+    rng = np.random.default_rng(1)
+    h, w = 48, 64
+    n_verts, n_faces = 4000, 8000
+    verts = rng.uniform([-3, -3, 0.5], [3, 3, 6.0], (n_verts, 3)).astype(np.float32)
+    faces = rng.integers(0, n_verts, (n_faces, 3)).astype(np.int32)
+    K = _K(h, w)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [0.1, -0.2, 0.05]
+    pred = rng.uniform(-0.5, 1.0, (h, w)).astype(np.float32)
+
+    cpp = ras.sample_vertex_predictions(verts, faces, T, K[:3, :3], pred)
+    zbuf = ras.rasterize_mesh_depth(verts, faces, T, K, h, w)
+    dev = DeviceVertexScorer(verts, h, w).frame_values(pred, zbuf, T, K)
+    # identical math up to f32 FMA-contraction differences between the
+    # C++ and XLA projection; mismatches can only occur for vertices
+    # whose pixel rounds differently at an exact .5 boundary
+    n_diff = int((cpp != dev).sum())
+    assert n_diff <= max(2, n_verts // 1000), (n_diff, n_verts)
+
+
+def test_device_vertex_scorer_window_flips_match_evaluator():
+    """Device per-window flip count == TemporalEvaluator's host path."""
+    from implicit_depth_tpu.eval.vertex_scorer import DeviceVertexScorer
+
+    rng = np.random.default_rng(2)
+    h, w = 48, 64
+    n_verts, n_faces = 2000, 4000
+    verts = rng.uniform([-3, -3, 0.5], [3, 3, 6.0], (n_verts, 3)).astype(np.float32)
+    faces = rng.integers(0, n_verts, (n_faces, 3)).astype(np.int32)
+    K = _K(h, w)
+    L = 5
+    cams, preds, zbufs = [], [], []
+    for f in range(L):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.05 * f, -0.02 * f, 0.01 * f]
+        cams.append(T)
+        preds.append(rng.uniform(-0.5, 1.0, (h, w)).astype(np.float32))
+        zbufs.append(ras.rasterize_mesh_depth(verts, faces, T, K, h, w))
+
+    ev = TemporalEvaluator(height=h, width=w)
+    ev.initialise_new_scene(verts=verts, faces=faces)
+    for f in range(L):
+        ev.update_vertex_predictions(preds[f], cams[f], K)
+    ev.compute_vertex_occlusion_changes()
+
+    scorer = DeviceVertexScorer(verts, h, w)
+    flips = float(scorer.window_flips(
+        np.stack(preds), np.stack(zbufs), np.stack(cams),
+        np.stack([K] * L)))
+    # flip counts may differ by a handful of boundary-rounding vertices
+    assert abs(flips - ev.total_diffs) <= max(2.0, 0.002 * n_verts), (
+        flips, ev.total_diffs)

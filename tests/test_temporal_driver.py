@@ -153,3 +153,32 @@ def _write_ply(tmp_path, verts, faces):
         for t in faces:
             f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
     return path
+
+
+@pytest.mark.slow
+def test_temporal_scan_device_scoring_matches_host(tmp_path):
+    """Scan mode with the device vertex scorer (project+sample+flip count
+    on-device, z-buffers from C++) produces the same flips/score as the
+    host C++ scoring path."""
+    ds = SyntheticDataset(num_frames=9, num_views=3, split="val", get_bd_info=True)
+    net = BDNet(image_encoder_name="tiny", num_src_views=2, num_depth_bins=8,
+                use_prior=True)
+    cur, src = collate([ds[0]])
+    cur = {k: jnp.asarray(v) for k, v in cur.items()}
+    src = {k: jnp.asarray(v) for k, v in src.items()}
+    variables = net.init({"params": jax.random.PRNGKey(0)}, cur, src,
+                         method=BDNet.forward_val)
+    verts = np.array([[-3, -3, 4.0], [3, -3, 4.0], [3, 3, 4.0], [-3, 3, 4.0]], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    mesh = _write_ply(tmp_path, verts, faces)
+
+    kwargs = dict(eval_length=3, warmup=1, frame_multiplier=2,
+                  height=ds.depth_height, width=ds.depth_width,
+                  max_frames_per_scene=7, use_scan=True)
+    r_host = evaluate_temporal(net, variables, {"scene0": ds}, {"scene0": mesh},
+                               device_scoring=False, **kwargs)
+    r_dev = evaluate_temporal(net, variables, {"scene0": ds}, {"scene0": mesh},
+                              device_scoring=True, **kwargs)
+    assert r_dev["total_verts"] == r_host["total_verts"]
+    assert r_dev["total_diffs"] == r_host["total_diffs"]
+    np.testing.assert_allclose(r_dev["temporal_score"], r_host["temporal_score"])
