@@ -36,6 +36,7 @@ Rows are s-major (row = s * RT + r), RT = 64 rays per grid step.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +45,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 
-_RT = 64   # rays per grid step
+# rays per grid step, forward/backward. RT=64 is the measured optimum
+# on TPU v5e for BOTH passes (scripts/probe_ray_head.py sweep, round 5):
+# RT=128 halves the grid-step count but times SLOWER (fwd 13.06 ms vs
+# 11.68 at b=12 — the kernel is pipeline/HBM-bound, not grid-latency-
+# bound as round 4 conjectured), and RT=256 exceeds the 16 MB scoped
+# VMEM limit in the forward (31.84 MB requested). Env-overridable for
+# probing (scripts/probe_ray_head.py --rt_fwd/--rt_bwd).
+_RT_FWD = int(os.environ.get("IDT_RAY_HEAD_RT_FWD", "64"))
+_RT_BWD = int(os.environ.get("IDT_RAY_HEAD_RT_BWD", "64"))
 _F = 128   # hidden width (reference mlp_size, networks.py:92)
 _CDT = jnp.bfloat16
 
@@ -222,7 +231,7 @@ def _pad_rays(x: Array, np_pad: int) -> Array:
 def _make_ray_head(s: int, has_prior: bool, out_dt_name: str, interpret: bool):
     """custom_vjp'd fused head for one static (S, has_prior, out dtype)."""
     f = _F
-    rt = _RT
+    rt_f, rt_b = _RT_FWD, _RT_BWD
     out_dt = jnp.dtype(out_dt_name)
     tile2 = lambda bi, ti: (bi, ti, 0)
     acc2 = lambda bi, ti: (0, 0)
@@ -234,12 +243,14 @@ def _make_ray_head(s: int, has_prior: bool, out_dt_name: str, interpret: bool):
             [w2[:, 0], jnp.broadcast_to(b2, (f,))]).astype(jnp.float32)
         return k0, w1.astype(_CDT), b1r, w2r
 
-    sel_specs = [
-        pl.BlockSpec((s * rt, rt), acc2, memory_space=pltpu.VMEM),
-        pl.BlockSpec((s * rt, s), acc2, memory_space=pltpu.VMEM),
-    ]
+    def sel_specs(rt):
+        return [
+            pl.BlockSpec((s * rt, rt), acc2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((s * rt, s), acc2, memory_space=pltpu.VMEM),
+        ]
 
     def fwd_call(b1s, m1s, fp, d, p, k0, w1c, b1r, w2r):
+        rt = rt_f
         b, np_pad = fp.shape[:2]
         kern = functools.partial(
             _fwd_kernel if has_prior else _fwd_kernel_noprior, rt=rt, s=s)
@@ -253,13 +264,14 @@ def _make_ray_head(s: int, has_prior: bool, out_dt_name: str, interpret: bool):
         return pl.pallas_call(
             kern,
             grid=(b, np_pad // rt),
-            in_specs=sel_specs + data_specs + w_specs,
+            in_specs=sel_specs(rt) + data_specs + w_specs,
             out_specs=pl.BlockSpec((1, rt, s), tile2, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, np_pad, s), out_dt),
             interpret=interpret,
         )(b1s, m1s, *args, k0, w1c, b1r, w2r)
 
     def bwd_call(b1s, m1s, fp, d, p, ct, k0, w1c, b1r, w2r):
+        rt = rt_b
         b, np_pad = fp.shape[:2]
         kern = functools.partial(
             _bwd_kernel if has_prior else _bwd_kernel_noprior, rt=rt, s=s)
@@ -291,7 +303,7 @@ def _make_ray_head(s: int, has_prior: bool, out_dt_name: str, interpret: bool):
         return pl.pallas_call(
             kern,
             grid=(b, np_pad // rt),
-            in_specs=sel_specs + data_specs + w_specs,
+            in_specs=sel_specs(rt) + data_specs + w_specs,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
@@ -300,7 +312,7 @@ def _make_ray_head(s: int, has_prior: bool, out_dt_name: str, interpret: bool):
     @jax.custom_vjp
     def head(fp, d, p, k0d, k0p, w1, b1, w2, b2):
         k0, w1c, b1r, w2r = _pack(k0d, k0p, w1, b1, w2, b2)
-        b1s, m1s = _selectors_host(rt, s)
+        b1s, m1s = _selectors_host(rt_f, s)
         return fwd_call(b1s, m1s, fp, d, p, k0, w1c, b1r, w2r)
 
     def head_fwd(fp, d, p, k0d, k0p, w1, b1, w2, b2):
@@ -311,7 +323,7 @@ def _make_ray_head(s: int, has_prior: bool, out_dt_name: str, interpret: bool):
         fp, d, p, k0d, k0p, w1, b1, w2 = res
         k0, w1c, b1r, w2r = _pack(k0d, k0p, w1, b1, w2,
                                   jnp.zeros((), jnp.float32))
-        b1s, m1s = _selectors_host(rt, s)
+        b1s, m1s = _selectors_host(rt_b, s)
         outs = bwd_call(b1s, m1s, fp, d, p, ct.astype(_CDT), k0, w1c, b1r, w2r)
         if has_prior:
             dfp, dd, dp, dw1, dvec = outs
@@ -350,7 +362,9 @@ def ray_head_mlp(fp: Array, depths: Array, prior: Array | None,
         raise ValueError(f"ray_head_mlp expects hidden width {_F}, got {f}")
     s = depths.shape[-1]
     has_prior = prior is not None
-    np_pad = -(-n // _RT) * _RT
+    # pad to a common multiple of both grid tilings (powers of two)
+    rt_pad = max(_RT_FWD, _RT_BWD)
+    np_pad = -(-n // rt_pad) * rt_pad
     fpp = _pad_rays(fp.astype(_CDT), np_pad)
     dpad = _pad_rays(depths.astype(_CDT), np_pad)
     if has_prior:

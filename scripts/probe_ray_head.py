@@ -98,7 +98,14 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no_prior", action="store_true")
     ap.add_argument("--parity", action="store_true")
+    ap.add_argument("--rt_fwd", type=int, default=0,
+                    help="override the kernel's forward rays-per-grid-step")
+    ap.add_argument("--rt_bwd", type=int, default=0)
     args = ap.parse_args()
+    if args.rt_fwd:
+        os.environ["IDT_RAY_HEAD_RT_FWD"] = str(args.rt_fwd)
+    if args.rt_bwd:
+        os.environ["IDT_RAY_HEAD_RT_BWD"] = str(args.rt_bwd)
     use_prior = not args.no_prior
 
     feats, depths, priors, params = make_inputs(args.batch, use_prior)
