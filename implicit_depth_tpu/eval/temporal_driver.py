@@ -113,6 +113,10 @@ class _TupleStager:
             for scan_id, ids in items:
                 for fid in ids:
                     self._host_frame(scan_id, fid)
+                    # commit the image too: the device transfer (tunnel
+                    # IO, not CPU) overlaps the running window scan
+                    # instead of blocking the next window's staging
+                    self._dev_image(scan_id, fid)
 
         self._thread = threading.Thread(target=work, daemon=True)
         self._thread.start()
@@ -324,11 +328,22 @@ def evaluate_temporal(
                     metas.append((cur_h["cam_T_world"], cur_h["K_s0"]))
                     cur_imgs.append(cur_img)
                     src_imgs.append(src_im)
+                # pad the tail window to eval_length by repeating the
+                # last frame, so EVERY window runs the same executable:
+                # a distinct tail arity would re-trace + re-lower the
+                # whole scan program (~25 s host CPU) for <=1 window per
+                # scene. Predictions are sliced back to l_w below; the
+                # pad frames never feed scoring.
+                while len(packs) < eval_length and l_w < eval_length:
+                    packs.append(packs[-1])
+                    cur_imgs.append(cur_imgs[-1])
+                    src_imgs.append(src_imgs[-1])
                 t_staged = time.perf_counter()
                 preds = window_step(
                     variables, tuple(cur_imgs), tuple(src_imgs),
                     jnp.asarray(np.stack(packs)), no_prior,
                     jnp.asarray(np.asarray(cur_h0["cam_T_world"], np.float32)))
+                preds = preds[:l_w]
                 t_dispatch = time.perf_counter()
                 if scorer is not None:
                     # decode the NEXT window's frames while the device
