@@ -65,6 +65,7 @@ tensors and (b,d,h,w,128) hidden activations are all VMEM-transient.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -74,7 +75,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 
-_G = 8  # planes per group (lane-stacked into one-hot operands)
+# planes per group (lane-stacked into one-hot operands); env-overridable
+# for on-chip probing (scripts/probe_volume_bwd.py)
+_G = int(os.environ.get("IDT_FV_G", "8"))
+# unroll the per-view loops so Mosaic can schedule view k+1's VPU hat
+# construction against view k's MXU gather matmul (probe flag)
+_UNROLL_K = os.environ.get("IDT_FV_UNROLL_K", "0") == "1"
 
 
 def _fused_kernel(
@@ -212,7 +218,7 @@ def _fused_kernel(
             m_ref[base_row + 5] = ((r2 * dep_gw - o[2]) * invn).reshape(GW)
             return 0
 
-        jax.lax.fori_loop(0, K, k_body, 0)
+        jax.lax.fori_loop(0, K, k_body, 0, unroll=_UNROLL_K)
 
         # first layer: base + plane term + one matmul over all source
         # visuals + one matmul over all metadata rows
@@ -498,7 +504,7 @@ def _fused_bwd_kernel(
             m_ref[base_row + 5] = ((r2 * dep_gw - o[2]) * invn).reshape(GW)
             return 0
 
-        jax.lax.fori_loop(0, K, k_fwd, 0)
+        jax.lax.fori_loop(0, K, k_fwd, 0, unroll=_UNROLL_K)
 
         # ---- forward recompute: MLP activations (in VMEM)
         acc = base_ref[0, 0].astype(jnp.float32)
