@@ -76,8 +76,12 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 # planes per group (lane-stacked into one-hot operands); env-overridable
-# for on-chip probing (scripts/probe_volume_bwd.py)
-_G = int(os.environ.get("IDT_FV_G", "8"))
+# for on-chip probing (scripts/probe_volume_bwd.py). Round-5 v5e sweep at
+# b=12 training shapes: G=8 -> 60.4/129.7 ms (fwd/bwd), G=16 -> 52.9/106.2,
+# G=32 -> 52.3/105.4 — wider groups amortise the per-group VPU hat
+# construction and widen the matmul N dim; 16 takes ~97% of the win with
+# half the Dp padding waste for small plane counts.
+_G = int(os.environ.get("IDT_FV_G", "16"))
 # unroll the per-view loops so Mosaic can schedule view k+1's VPU hat
 # construction against view k's MXU gather matmul (probe flag)
 _UNROLL_K = os.environ.get("IDT_FV_UNROLL_K", "0") == "1"
